@@ -1,0 +1,186 @@
+"""Configuration for the planner, optimizer and solver.
+
+Mirrors the semantics of the reference's protobuf config
+(/root/reference/src/Plan/traj_planner/proto/minco_config.proto and the deployed
+values in config/minco_config.pb.txt) as plain frozen dataclasses, loadable from
+JSON. Field defaults equal the reference's deployed values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+
+@dataclasses.dataclass(frozen=True)
+class VehicleParam:
+    """Car-like vehicle geometry.
+
+    Defaults follow common::VehicleParam
+    (reference: src/Sim/core/common/inc/common/basics/semantics.h:66-76).
+    ``d_cr`` is the distance from the rear axle (the flat-output point) to the
+    geometric center of the body rectangle.
+    """
+
+    width: float = 1.90
+    length: float = 4.88
+    wheel_base: float = 2.85
+    d_cr: float = 1.015
+    max_steering_angle: float = 0.7  # rad
+
+    def inflate(self, margin: float) -> "VehicleParam":
+        """Grow width/length by 2*margin (reference: traj_optimizer.cpp:1747-1748)."""
+        return dataclasses.replace(
+            self, width=self.width + 2.0 * margin, length=self.length + 2.0 * margin
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class LBFGSParams:
+    """L-BFGS solver parameters (reference: lbfgs.hpp:15-128 defaults,
+    overridden per traj_optimizer.cpp:127-134 + minco_config.pb.txt:96-99)."""
+
+    mem_size: int = 256
+    past: int = 3
+    delta: float = 1.0e-4
+    g_epsilon: float = 1.0e-16
+    max_iterations: int = 12000
+    max_linesearch: int = 64
+    min_step: float = 1.0e-32
+    max_step: float = 1.0e20
+    f_dec_coeff: float = 1.0e-4
+    s_curv_coeff: float = 0.9
+    cautious_factor: float = 1.0e-6
+    machine_prec: float = 1.0e-16
+
+
+@dataclasses.dataclass(frozen=True)
+class OptConfig:
+    """Back-end optimizer configuration (reference opt_cfg block,
+    minco_config.pb.txt:65-100, consumed in traj_optimizer.cpp:1711-1735)."""
+
+    traj_resolution: int = 16       # constraint samples per interior piece
+    destraj_resolution: int = 32    # constraint samples per first/last piece
+    wei_obs: float = 1000.0         # static-obstacle (corridor) weight
+    wei_surround: float = 5000.0    # dynamic-obstacle weight
+    wei_feas: float = 2500.0        # feasibility weight
+    wei_sqrvar: float = 500.0       # (unused by the parking path, kept for parity)
+    wei_time: float = 500.0         # time-regularization weight
+    surround_clearance: float = 0.4
+    half_margin: float = 0.15       # hull inflation for the optimizer
+    traj_piece_duration: float = 1.0
+
+    max_forward_vel: float = 5.0
+    max_forward_acc: float = 8.0
+    max_forward_cur: float = 1.0
+    max_backward_vel: float = 2.0
+    max_backward_acc: float = 4.0
+    max_backward_cur: float = 1.0
+    max_latacc: float = 5.0
+    max_phidot: float = 10000.0
+
+    # Gear-junction speed magnitude (reference: traj_optimizer.h:68 `non_sinv`).
+    non_sinv: float = 0.24
+    gear_opt: bool = True
+    mini_t: float = 0.1             # minimum real duration per piece-average
+    # epsilon regularizer for 1/(|v|^2+eps); the parking pipeline passes 0.0
+    # (reference: traj_manager.cpp:612 `OptimizeTrajectory(..., 0.0)`).
+    epis: float = 0.0
+    # LSE sharpness for the polytope-vs-polytope signed distance
+    # (reference: traj_optimizer.cpp:1336 `alpha = 100.0`).
+    lse_alpha: float = 100.0
+
+    lbfgs: LBFGSParams = dataclasses.field(default_factory=LBFGSParams)
+
+    # Optimization rejected if final cost >= this (reference: traj_optimizer.cpp:197).
+    reject_cost: float = 50000.0
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    """Kinodynamic A* front-end configuration (reference map_cfg block,
+    minco_config.pb.txt:13-63, consumed in kino_astar.cpp:372-442)."""
+
+    map_size_x: float = 1000.0
+    map_size_y: float = 1000.0
+    horizon: float = 50.0
+    yaw_resolution: float = 0.3
+    lambda_heu: float = 5.0
+    allocate_num: int = 100000
+    check_num: int = 5
+    max_search_time: float = 1.0
+    traj_forward_penalty: float = 1.0
+    traj_back_penalty: float = 2.5
+    traj_gear_switch_penalty: float = 15.0
+    traj_steer_penalty: float = 0.5
+    traj_steer_change_penalty: float = 0.0
+    map_resolution: float = 0.3
+    step_arc: float = 0.9
+    checkl: float = 0.2
+    oneshot_range: float = 15.0     # RS one-shot attempted within this distance
+    # front-end kinematic limits (minco_config.pb.txt:77-81)
+    max_frontend_forward_vel: float = 5.0
+    max_frontend_forward_acc: float = 8.0
+    max_frontend_backward_vel: float = 2.0
+    max_frontend_backward_acc: float = 4.0
+    max_frontend_cur: float = 1.0
+    # near-zero speed placeholder (reference: kino_astar.h:207 `non_siguav`)
+    non_siguav: float = 0.2
+    collision_margin: float = 0.2   # vehicle inflation for A* checks (kino_astar.cpp:426)
+    sample_time: float = 0.1        # resample period for flat traj (kino_astar.cpp:683)
+
+
+@dataclasses.dataclass(frozen=True)
+class PlannerConfig:
+    vehicle: VehicleParam = dataclasses.field(default_factory=VehicleParam)
+    opt: OptConfig = dataclasses.field(default_factory=OptConfig)
+    frontend: FrontendConfig = dataclasses.field(default_factory=FrontendConfig)
+
+    # runtime (reference: traj_server_ros.cpp:38,107 + traj_server_ros.h:58)
+    replan_rate_hz: float = 20.0
+    control_rate_hz: float = 100.0
+    plan_budget_s: float = 0.5
+
+    def ego_hull(self):
+        """Clockwise body-frame hull vertices of the (optimizer-inflated) vehicle,
+        about the rear-axle flat output (reference: traj_optimizer.cpp:1760-1770).
+
+        Returns a (4, 2) list: [le_1, le_2, le_3, le_4]; consumers append le_1 to
+        close the polygon.
+        """
+        vp = self.vehicle.inflate(self.opt.half_margin)
+        hl, hw, dcr = vp.length / 2.0, vp.width / 2.0, vp.d_cr
+        return [
+            (dcr + hl, hw),
+            (dcr + hl, -hw),
+            (dcr - hl, -hw),
+            (dcr - hl, hw),
+        ]
+
+
+def _from_dict(cls, d: dict[str, Any]):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if dataclasses.is_dataclass(f.type) or f.name in (
+            "vehicle", "opt", "frontend", "lbfgs",
+        ):
+            sub = {"vehicle": VehicleParam, "opt": OptConfig,
+                   "frontend": FrontendConfig, "lbfgs": LBFGSParams}[f.name]
+            v = _from_dict(sub, v)
+        kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def load_config(path: str) -> PlannerConfig:
+    """Load a PlannerConfig from a JSON file; missing fields keep defaults."""
+    with open(path) as f:
+        return _from_dict(PlannerConfig, json.load(f))
+
+
+def save_config(cfg: PlannerConfig, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2)

@@ -1,0 +1,160 @@
+"""Scenario construction helpers: synthetic problems for tests and benchmarks,
+and conversion of front-end output into solver scenarios.
+
+The reference gets its problems from KinoAstar + getRectangleConst
+(traj_manager.cpp:509-641); here we additionally provide fully synthetic
+generators so the batched solver can be exercised at scale without a map.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dftpav_tpu import minco
+from dftpav_tpu.basis import sample_grid
+from dftpav_tpu.types import Dims, Scenario, state_to_flat
+
+
+def _corridor_from_boxes(centers, half_x, half_y, dims: Dims, dtype):
+    """Axis-aligned rectangle corridors per constraint point.
+
+    centers: [N, K1, 2]. Returns (corr_n, corr_p, corr_mask) for one segment.
+    Half-plane convention: outward unit normal n, boundary point p.
+    """
+    N, K1 = dims.N, dims.K1
+    n = np.zeros((N, K1, dims.H, 2), dtype)
+    p = np.zeros((N, K1, dims.H, 2), dtype)
+    n[..., 0, :] = (1.0, 0.0)
+    n[..., 1, :] = (-1.0, 0.0)
+    n[..., 2, :] = (0.0, 1.0)
+    n[..., 3, :] = (0.0, -1.0)
+    p[..., 0, :] = centers + np.array([half_x, 0.0], dtype)
+    p[..., 1, :] = centers - np.array([half_x, 0.0], dtype)
+    p[..., 2, :] = centers + np.array([0.0, half_y], dtype)
+    p[..., 3, :] = centers - np.array([0.0, half_y], dtype)
+    mask = np.zeros((N, K1, dims.H), bool)
+    mask[..., :4] = True
+    return n, p, mask
+
+
+def straight_scenario(dims: Dims, length=12.0, lateral=2.0, v0=1.0, v1=1.0,
+                      corridor_half=8.0, wheel_base=2.85, dtype=np.float64,
+                      n_obstacles=0, obstacle_speed=2.0, rng=None) -> Scenario:
+    """A single forward segment from (0,0,yaw=0) to (length, lateral, yaw=0)
+    inside a generous corridor. Optional circling obstacles mimic the parking
+    scene's moving cars (reference: parking_moving_obstacles.cc:42-57)."""
+    assert dims.S == 1, "straight_scenario builds single-segment problems"
+    N, K1 = dims.N, dims.K1
+    rng = rng or np.random.default_rng(0)
+
+    ini = state_to_flat((0.0, 0.0), 0.0, v0, 0.0, 0.0, wheel_base, 1, dtype=dtype)
+    fin = state_to_flat((length, lateral), 0.0, v1, 0.0, 0.0, wheel_base, 1,
+                        dtype=dtype)
+
+    frac = np.linspace(0.0, 1.0, N + 1)[1:-1]
+    inner = np.stack([length * frac, lateral * frac], axis=-1).astype(dtype)
+
+    dist = float(np.hypot(length, lateral))
+    init_T = np.array([max(dist / 3.0, 1.0)], dtype)
+
+    grid = sample_grid(dims.N, dims.K, dims.Kdes)
+    # straight-line sample centers for corridor boxes
+    s_frac = (grid.frac / N).astype(dtype)  # [N, K1] in [0, 1]
+    centers = np.stack([length * s_frac, lateral * s_frac], axis=-1)
+    corr_n, corr_p, corr_mask = _corridor_from_boxes(
+        centers, corridor_half, corridor_half, dims, dtype)
+
+    O, Po = dims.O, dims.Po
+    obs_coef = np.zeros((O, Po, 6, 2), dtype)
+    obs_dt = np.ones((O,), dtype)
+    obs_rel_t0 = np.zeros((O,), dtype)
+    obs_mask = np.zeros((O,), bool)
+    for o in range(min(n_obstacles, O)):
+        # constant-velocity straight mover crossing near the path
+        horizon = 30.0
+        dt = horizon / Po
+        ang = rng.uniform(0, 2 * np.pi)
+        vel = obstacle_speed * np.array([np.cos(ang), np.sin(ang)])
+        start = np.array([length * rng.uniform(0.3, 0.7),
+                          lateral + rng.uniform(6.0, 10.0)])
+        # piecewise-linear as quintic pieces: c0 = segment start, c1 = vel*dt
+        for pp in range(Po):
+            obs_coef[o, pp, 0] = start + vel * (pp * dt)
+            obs_coef[o, pp, 1] = vel * dt
+        obs_dt[o] = dt
+        obs_mask[o] = True
+
+    return Scenario(
+        ini_state=ini[None], fin_state=fin[None], init_inner=inner[None],
+        init_T=init_T, singul=np.array([1], np.int32),
+        seg_mask=np.array([True]),
+        corr_n=corr_n[None], corr_p=corr_p[None], corr_mask=corr_mask[None],
+        obs_coef=obs_coef, obs_dt=obs_dt, obs_rel_t0=obs_rel_t0,
+        obs_mask=obs_mask,
+    )
+
+
+def random_parking_scenario(dims: Dims, rng, wheel_base=2.85,
+                            dtype=np.float64, n_obstacles=0) -> Scenario:
+    """Randomized maneuver: random goal offset/heading, tight-ish corridor,
+    single forward segment (gear handling exercised in multiseg tests)."""
+    length = rng.uniform(8.0, 18.0)
+    lateral = rng.uniform(-4.0, 4.0)
+    v0 = rng.uniform(0.2, 2.0)
+    v1 = rng.uniform(0.2, 1.0)
+    half = rng.uniform(3.0, 8.0)
+    return straight_scenario(dims, length=length, lateral=lateral, v0=v0,
+                             v1=v1, corridor_half=half, wheel_base=wheel_base,
+                             dtype=dtype, n_obstacles=n_obstacles, rng=rng)
+
+
+def stack_scenarios(scens: list[Scenario]) -> Scenario:
+    """Stack single scenarios into a batched Scenario pytree (leading [B])."""
+    return Scenario(*(np.stack(parts) for parts in zip(*scens)))
+
+
+def batch_scenarios(dims: Dims, batch: int, seed=0, dtype=np.float64,
+                    n_obstacles=0) -> Scenario:
+    rng = np.random.default_rng(seed)
+    return stack_scenarios([
+        random_parking_scenario(dims, rng, dtype=dtype,
+                                n_obstacles=n_obstacles)
+        for _ in range(batch)])
+
+
+def gear_scenario(dims: Dims, wheel_base=2.85, dtype=np.float64) -> Scenario:
+    """Two-segment forward/reverse maneuver (S=2): drive forward, then back
+    into a lateral offset — exercises gear-position/angle decision variables."""
+    assert dims.S == 2
+    N = dims.N
+    ini = state_to_flat((0.0, 0.0), 0.0, 1.0, 0.0, 0.0, wheel_base, 1, dtype=dtype)
+    mid_pos = np.array([8.0, 1.0])
+    mid_yaw = 0.5
+    mid_f = state_to_flat(mid_pos, mid_yaw, 0.2, 0.0, 0.0, wheel_base, 1, dtype=dtype)
+    mid_b = state_to_flat(mid_pos, mid_yaw, 0.2, 0.0, 0.0, wheel_base, -1, dtype=dtype)
+    end = state_to_flat((5.0, -2.0), 0.2, 0.5, 0.0, 0.0, wheel_base, -1, dtype=dtype)
+
+    frac = np.linspace(0.0, 1.0, N + 1)[1:-1]
+    inner0 = np.stack([mid_pos[0] * frac, mid_pos[1] * frac], -1).astype(dtype)
+    inner1 = (mid_pos + (np.array([5.0, -2.0]) - mid_pos) * frac[:, None]).astype(dtype)
+
+    grid = sample_grid(dims.N, dims.K, dims.Kdes)
+    s_frac = (grid.frac / N).astype(dtype)
+    c0 = np.stack([mid_pos[0] * s_frac, mid_pos[1] * s_frac], -1)
+    c1 = mid_pos + (np.array([5.0, -2.0]) - mid_pos) * s_frac[..., None]
+    n0, p0, m0 = _corridor_from_boxes(c0, 10.0, 10.0, dims, dtype)
+    n1, p1, m1 = _corridor_from_boxes(c1, 10.0, 10.0, dims, dtype)
+
+    O, Po = dims.O, dims.Po
+    return Scenario(
+        ini_state=np.stack([ini, mid_b]),
+        fin_state=np.stack([mid_f, end]),
+        init_inner=np.stack([inner0, inner1]),
+        init_T=np.array([4.0, 4.0], dtype),
+        singul=np.array([1, -1], np.int32),
+        seg_mask=np.array([True, True]),
+        corr_n=np.stack([n0, n1]), corr_p=np.stack([p0, p1]),
+        corr_mask=np.stack([m0, m1]),
+        obs_coef=np.zeros((O, Po, 6, 2), dtype), obs_dt=np.ones((O,), dtype),
+        obs_rel_t0=np.zeros((O,), dtype), obs_mask=np.zeros((O,), bool),
+    )

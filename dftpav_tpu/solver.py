@@ -1,0 +1,72 @@
+"""Batched trajectory optimizer: the PolyTrajOptimizer::OptimizeTrajectory
+equivalent (reference: traj_optimizer.cpp:7-202), vmapped over scenarios.
+
+Usage:
+    solve = make_solver(cfg, dims)                      # jitted, batched
+    result = solve(scenario_batch, weights)             # SolveResult with [B] axis
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from dftpav_tpu import cost as cost_mod
+from dftpav_tpu import lbfgs, minco
+from dftpav_tpu.config import PlannerConfig
+from dftpav_tpu.types import Dims, Scenario, SolveResult, Weights
+
+
+def clamp_boundary_states(scen: Scenario, w: Weights) -> Scenario:
+    """Clamp boundary velocity/acc magnitudes below the per-direction limits
+    (reference: traj_optimizer.cpp:54-76)."""
+    fwd = scen.singul > 0
+    max_vel = jnp.where(fwd, w.max_forward_vel, w.max_backward_vel)
+    max_acc = jnp.where(fwd, w.max_forward_acc, w.max_backward_acc)
+
+    def clamp(states, lim, col):
+        v = states[:, :, col]
+        n = jnp.linalg.norm(v, axis=-1)
+        scale = jnp.where(n >= lim, (lim - 1e-2) / jnp.maximum(n, 1e-12), 1.0)
+        return states.at[:, :, col].set(v * scale[:, None])
+
+    ini, fin = scen.ini_state, scen.fin_state
+    ini = clamp(clamp(ini, max_vel, 1), max_acc, 2)
+    fin = clamp(clamp(fin, max_vel, 1), max_acc, 2)
+    return scen._replace(ini_state=ini, fin_state=fin)
+
+
+def solve_one(scen: Scenario, w: Weights, dims: Dims, cfg: PlannerConfig,
+              max_iterations: int | None = None) -> SolveResult:
+    """Solve a single scenario (vmap over a batch of pytrees to batch)."""
+    scen = clamp_boundary_states(scen, w)
+    x0 = cost_mod.initial_guess(scen, w, dims)
+
+    fun = jax.value_and_grad(
+        lambda x: cost_mod.total_cost(x, scen, w, dims, cfg)[0])
+    res = lbfgs.minimize(fun, x0, cfg.opt.lbfgs, max_iterations=max_iterations)
+
+    u = cost_mod.unpack(res.x, dims)
+    T = cost_mod.virtual_to_real(u.vt, w.mini_t)
+    dT = T / dims.N
+    heads, tails = cost_mod.boundary_states(scen, u, w, dims)
+    Ainv = jnp.asarray(minco.minco_inverse(dims.N), res.x.dtype)
+    coeffs = jax.vmap(minco.generate, in_axes=(0, 0, 0, 0, None))(
+        u.inner, dT, heads, tails, Ainv)
+
+    ok = res.status >= 0
+    success = ok & (res.f < cfg.opt.reject_cost)
+    return SolveResult(coeffs=coeffs, dT=dT, cost=res.f, n_iters=res.n_iters,
+                       status=res.status, success=success)
+
+
+def make_solver(cfg: PlannerConfig, dims: Dims,
+                max_iterations: int | None = None, jit: bool = True):
+    """Build a batched solver: (Scenario with leading [B] axis, Weights) -> SolveResult."""
+    fn = jax.vmap(
+        functools.partial(solve_one, dims=dims, cfg=cfg,
+                          max_iterations=max_iterations),
+        in_axes=(0, None))
+    return jax.jit(fn) if jit else fn
