@@ -1,0 +1,73 @@
+"""Headline benchmark: batched trajectory optimizations/s on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Baseline: the reference C++ planner solves one trajectory per replan inside a
+~10 ms budget on an i7-10700 (BASELINE.md) => ~100 solves/s/device.
+vs_baseline is measured solves/s divided by that.
+
+Timing is synchronized through a host readback (the axon remote-TPU relay
+acks async dispatch immediately; see .claude/skills/verify/SKILL.md).
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+BASELINE_SOLVES_PER_S = 100.0
+
+
+def main():
+    from dftpav_tpu import scenarios, solver
+    from dftpav_tpu.config import PlannerConfig
+    from dftpav_tpu.types import Dims, weights_from_config
+
+    cfg = PlannerConfig()
+    dims = Dims(S=1, N=8, K=16, Kdes=32, H=4, O=2, Po=8)
+    B = int(os.environ.get("BENCH_BATCH", "1024"))
+    max_iter = int(os.environ.get("BENCH_MAX_ITER", "150"))
+
+    scens = scenarios.batch_scenarios(dims, B, seed=7, dtype=np.float32,
+                                      n_obstacles=2)
+    w = weights_from_config(cfg.opt, dtype=jnp.float32)
+    solve = solver.make_solver(cfg, dims, max_iterations=max_iter)
+    batch = jax.tree.map(jnp.asarray, scens)
+
+    t0 = time.time()
+    res = solve(batch, w)
+    cost = np.asarray(res.cost)  # sync
+    compile_s = time.time() - t0
+
+    best = float("inf")
+    for _ in range(3):
+        t1 = time.time()
+        res = solve(batch, w)
+        cost = np.asarray(res.cost)
+        best = min(best, time.time() - t1)
+
+    succ = np.asarray(res.success.astype(jnp.int32))
+    iters = np.asarray(res.n_iters)
+    solves_per_s = B / best
+    print(json.dumps({
+        "metric": "traj_optimizations_per_s_per_chip",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 2),
+        "batch": B,
+        "batch_wall_ms": round(best * 1e3, 1),
+        "success_rate": round(float(succ.mean()), 4),
+        "iters_p50": int(np.median(iters)),
+        "cost_p50": round(float(np.nanmedian(cost)), 1),
+        "compile_s": round(compile_s, 1),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -39,9 +39,15 @@ class VehicleParam:
 @dataclasses.dataclass(frozen=True)
 class LBFGSParams:
     """L-BFGS solver parameters (reference: lbfgs.hpp:15-128 defaults,
-    overridden per traj_optimizer.cpp:127-134 + minco_config.pb.txt:96-99)."""
+    overridden per traj_optimizer.cpp:127-134 + minco_config.pb.txt:96-99).
 
-    mem_size: int = 256
+    mem_size deviates from the reference's 256: the two-loop recursion is
+    2*m *sequential* tiny ops per iteration — pure latency on TPU (~30 ms/iter
+    at m=256) — and with ~15-50 decision variables any m >= dim is already
+    exact BFGS. m=16 keeps the quality and cuts iteration latency ~16x.
+    """
+
+    mem_size: int = 16
     past: int = 3
     delta: float = 1.0e-4
     g_epsilon: float = 1.0e-16
@@ -95,6 +101,14 @@ class OptConfig:
 
     # Optimization rejected if final cost >= this (reference: traj_optimizer.cpp:197).
     reject_cost: float = 50000.0
+
+    # Global objective scaling. L-BFGS is scale-invariant in exact arithmetic
+    # (the first trial step is 1/|d| and later directions are ys/yy-scaled),
+    # so this is a no-op in f64 — but in the f32 fast path the raw cost sits at
+    # ~1e3-1e4 where float32 resolution (~1e0) swamps the past-delta stopping
+    # test (delta=1e-4 relative). Scaling to O(1) restores meaningful
+    # convergence checks. Reported costs are unscaled.
+    cost_scale: float = 1.0e-3
 
 
 @dataclasses.dataclass(frozen=True)

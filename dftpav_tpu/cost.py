@@ -95,6 +95,7 @@ def pack(u: Unpacked) -> jnp.ndarray:
 
 def initial_guess(scen: Scenario, w: Weights, dims: Dims) -> jnp.ndarray:
     """Build x0 from a scenario (reference: traj_optimizer.cpp:96-115)."""
+    scen = jax.tree.map(jnp.asarray, scen)
     vt = real_to_virtual(scen.init_T, w.mini_t)
     if dims.S > 1:
         gear_pos = scen.fin_state[:-1, :, 0]
@@ -313,9 +314,10 @@ def total_cost(x: jnp.ndarray, scen: Scenario, w: Weights, dims: Dims,
                cfg) -> tuple[jnp.ndarray, dict]:
     """Scalar objective for one scenario; `jax.value_and_grad` of this is the
     solver oracle. Mirrors costFunctionCallback (traj_optimizer.cpp:206-350)."""
+    scen = jax.tree.map(jnp.asarray, scen)
     dtype = x.dtype
     grid = sample_grid(dims.N, dims.K, dims.Kdes)
-    Ainv = jnp.asarray(minco.minco_inverse(dims.N), dtype)
+    maps = minco.maps_as(dims.N, dtype)
     hull = hull_arrays(cfg)
 
     u = unpack(x, dims)
@@ -324,7 +326,7 @@ def total_cost(x: jnp.ndarray, scen: Scenario, w: Weights, dims: Dims,
     heads, tails = boundary_states(scen, u, w, dims)
 
     bs = jax.vmap(minco.generate, in_axes=(0, 0, 0, 0, None))(
-        u.inner, dT, heads, tails, Ainv)                      # [S, N, 6, 2]
+        u.inner, dT, heads, tails, maps)                      # [S, N, 6, 2]
 
     segw = scen.seg_mask.astype(dtype)
     smoo = jnp.sum(segw * jax.vmap(minco.jerk_cost)(bs, dT))

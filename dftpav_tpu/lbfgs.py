@@ -90,19 +90,25 @@ def _line_search(fun, xp, gp, d, f0, stp0, p: LBFGSParams):
         f, g = fun(x)
         count = c.count + 1
 
-        bad = jnp.isnan(f) | jnp.isinf(f)
+        # The reference aborts the whole solve on inf/NaN (lbfgs.hpp:321-324).
+        # In f64 that path never triggers, but the f32 fast path overflows f32
+        # range during step-doubling long before max_step, and ~20% of lanes
+        # would abort on values they recover from by bisecting back toward the
+        # finite end of the bracket. So a non-finite trial value is treated as
+        # an Armijo failure (bracket high) instead of an error; the iterate
+        # path in f64 is unchanged.
+        bad_f = ~jnp.isfinite(f)
         early = (p.past > 0) & (jnp.abs(finit - f) / (jnp.abs(finit) + 1.0)
                                 < p.delta / max(p.past, 1))
-        armijo_fail = f > finit + c.stp * dgtest
+        armijo_fail = bad_f | (f > finit + c.stp * dgtest)
         wolfe_fail = jnp.vdot(g, d) < dstest
 
         nu = jnp.where(armijo_fail, c.stp, c.nu)
         brackt = c.brackt | armijo_fail
         mu = jnp.where(~armijo_fail & wolfe_fail, c.stp, c.mu)
 
-        accept = early | (~armijo_fail & ~wolfe_fail)
-        code = jnp.where(bad, Status.ERR_INVALID_FUNCVAL,
-                         jnp.where(accept, 1, 0))
+        accept = (early & ~bad_f) | (~armijo_fail & ~wolfe_fail)
+        code = jnp.where(accept, 1, 0)
         # post-checks in reference order (only if still continuing)
         cont = code == 0
         code = jnp.where(cont & (count >= p.max_linesearch), 2, code)
@@ -229,7 +235,9 @@ def minimize(fun: Callable, x0: jnp.ndarray, p: LBFGSParams,
             pf = pf.at[slot].set(jnp.where(status == Status.RUNNING, f, pf[slot]))
         status = jnp.where((status == Status.RUNNING) & (c.k >= max_iter),
                            Status.MAXITER, status)
-        k = c.k + 1
+        # k advances only while continuing (lbfgs.hpp increments after the
+        # termination tests)
+        k = jnp.where(status == Status.RUNNING, c.k + 1, c.k)
 
         # memory update with cautious test (lbfgs.hpp:670-706)
         s = x - xp

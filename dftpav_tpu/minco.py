@@ -69,31 +69,51 @@ def minco_inverse(N: int) -> np.ndarray:
     return np.linalg.inv(minco_matrix(N))
 
 
+@functools.lru_cache(maxsize=None)
+def minco_maps(N: int):
+    """Column slices of A^-1 matching the sparse RHS of the MINCO system.
+
+    The RHS has nonzeros only at rows {0,1,2} (head PVA), {6i+5} (inner
+    waypoints) and {6N-3..6N-1} (tail PVA), so the solve collapses to
+    b = Mh @ head_scaled + Mi @ inner + Mt @ tail_scaled — three constant-
+    matrix matmuls (MXU) with no scatter. (A strided scatter into the RHS
+    trips an XLA:TPU algebraic-simplifier cycle bug on v5e; this form is both
+    the workaround and the faster design.)
+
+    Returns (Mh [6N,3], Mi [6N,N-1], Mt [6N,3]) float64.
+    """
+    Ainv = minco_inverse(N)
+    Mh = Ainv[:, 0:3].copy()
+    Mi = Ainv[:, 5:6 * (N - 1):6].copy()
+    Mt = Ainv[:, 6 * N - 3:].copy()
+    return Mh, Mi, Mt
+
+
 def generate(inner: jnp.ndarray, dT: jnp.ndarray, head: jnp.ndarray,
-             tail: jnp.ndarray, Ainv: jnp.ndarray) -> jnp.ndarray:
+             tail: jnp.ndarray, maps) -> jnp.ndarray:
     """Solve the MINCO system for one segment; returns normalized coeffs [N,6,2].
 
     Args:
       inner: [N-1, 2] inner waypoints.
       dT:    scalar per-piece duration.
       head, tail: [2, 3] PVA boundary states (columns p, v, a).
-      Ainv:  [6N, 6N] precomputed inverse (cast to inner.dtype).
+      maps:  (Mh, Mi, Mt) from minco_maps(N), cast to inner.dtype.
 
     Reference: MinJerkOpt::generate (poly_traj_utils.hpp:953-986), with the
     final tInv scaling deferred to evaluation sites.
     """
-    N = Ainv.shape[0] // 6
-    dtype = inner.dtype
-    rhs = jnp.zeros((6 * N, 2), dtype)
-    rhs = rhs.at[0].set(head[:, 0])
-    rhs = rhs.at[1].set(head[:, 1] * dT)
-    rhs = rhs.at[2].set(head[:, 2] * (dT * dT))
-    rhs = rhs.at[5:6 * (N - 1):6].set(inner)
-    rhs = rhs.at[6 * N - 3].set(tail[:, 0])
-    rhs = rhs.at[6 * N - 2].set(tail[:, 1] * dT)
-    rhs = rhs.at[6 * N - 1].set(tail[:, 2] * (dT * dT))
-    b = Ainv.astype(dtype) @ rhs
+    Mh, Mi, Mt = maps
+    N = Mh.shape[0] // 6
+    scale = jnp.stack([jnp.ones_like(dT), dT, dT * dT])      # [3]
+    b = (Mh @ (head.T * scale[:, None])
+         + Mi @ inner
+         + Mt @ (tail.T * scale[:, None]))
     return b.reshape(N, 6, 2)
+
+
+def maps_as(N: int, dtype):
+    """minco_maps(N) cast to a jnp dtype (host constants -> device operands)."""
+    return tuple(jnp.asarray(m, dtype) for m in minco_maps(N))
 
 
 def real_coeffs(b: jnp.ndarray, dT: jnp.ndarray) -> jnp.ndarray:

@@ -15,6 +15,61 @@ from dftpav_tpu.basis import sample_grid
 from dftpav_tpu.types import Dims, Scenario, state_to_flat
 
 
+def _init_traj_centers(ini, fin, inner, total_T, dims: Dims, dtype):
+    """Sample the initial-guess MINCO trajectory at the constraint grid.
+
+    The reference builds corridors around states sampled from the front-end
+    trajectory the optimizer is seeded with (traj_manager.cpp:531-594);
+    centering the synthetic corridor boxes on the same curve keeps fixtures
+    faithful. Pure numpy (host-side fixture construction). Returns [N, K1, 2].
+    """
+    N = dims.N
+    grid = sample_grid(dims.N, dims.K, dims.Kdes)
+    dT = total_T / N
+    Ainv = minco.minco_inverse(N)
+    rhs = np.zeros((6 * N, 2))
+    rhs[0] = ini[:, 0]
+    rhs[1] = ini[:, 1] * dT
+    rhs[2] = ini[:, 2] * dT * dT
+    rhs[5:6 * (N - 1):6] = inner
+    rhs[6 * N - 3] = fin[:, 0]
+    rhs[6 * N - 2] = fin[:, 1] * dT
+    rhs[6 * N - 1] = fin[:, 2] * dT * dT
+    b = (Ainv @ rhs).reshape(N, 6, 2)
+    pos = np.einsum("nkc,ncd->nkd", grid.beta[0], b).astype(dtype)
+    dpos = np.einsum("nkc,ncd->nkd", grid.beta[1], b).astype(dtype)
+    vn = np.linalg.norm(dpos, axis=-1, keepdims=True)
+    head = np.where(vn > 1e-9, dpos / np.maximum(vn, 1e-9),
+                    np.array([1.0, 0.0], dtype))
+    return pos, head
+
+
+def _corridor_from_obb(pos, head, grow, dims: Dims, dtype,
+                       vehicle=None, singul=1):
+    """Heading-aligned rectangle corridors grown from the vehicle footprint.
+
+    Mirrors getRectangleConst (traj_manager.cpp:1213-1469): each corridor is a
+    rectangle aligned with the sampled vehicle yaw, containing the OBB, with
+    every side pushed out by `grow` (the reference grows until collision or a
+    10 m cap; with no obstacles nearby that is a fixed margin).
+    pos/head: [N, K1, 2] rear-axle positions and unit headings.
+    """
+    from dftpav_tpu.config import VehicleParam
+    vp = vehicle or VehicleParam()
+    h = head * float(singul)
+    nvec = np.stack([-h[..., 1], h[..., 0]], axis=-1)
+    center = pos + vp.d_cr * h
+    ext_l = vp.length / 2.0 + grow
+    ext_w = vp.width / 2.0 + grow
+    n = np.stack([h, -h, nvec, -nvec], axis=-2).astype(dtype)   # [N,K1,4,2]
+    p = np.stack([center + ext_l * h, center - ext_l * h,
+                  center + ext_w * nvec, center - ext_w * nvec],
+                 axis=-2).astype(dtype)
+    mask = np.zeros(n.shape[:-1], bool)
+    mask[..., :4] = True
+    return n, p, mask
+
+
 def _corridor_from_boxes(centers, half_x, half_y, dims: Dims, dtype):
     """Axis-aligned rectangle corridors per constraint point.
 
@@ -57,12 +112,10 @@ def straight_scenario(dims: Dims, length=12.0, lateral=2.0, v0=1.0, v1=1.0,
     dist = float(np.hypot(length, lateral))
     init_T = np.array([max(dist / 3.0, 1.0)], dtype)
 
-    grid = sample_grid(dims.N, dims.K, dims.Kdes)
-    # straight-line sample centers for corridor boxes
-    s_frac = (grid.frac / N).astype(dtype)  # [N, K1] in [0, 1]
-    centers = np.stack([length * s_frac, lateral * s_frac], axis=-1)
-    corr_n, corr_p, corr_mask = _corridor_from_boxes(
-        centers, corridor_half, corridor_half, dims, dtype)
+    pos_c, head_c = _init_traj_centers(ini, fin, inner, float(init_T[0]),
+                                       dims, dtype)
+    corr_n, corr_p, corr_mask = _corridor_from_obb(
+        pos_c, head_c, corridor_half, dims, dtype)
 
     O, Po = dims.O, dims.Po
     obs_coef = np.zeros((O, Po, 6, 2), dtype)
@@ -75,8 +128,10 @@ def straight_scenario(dims: Dims, length=12.0, lateral=2.0, v0=1.0, v1=1.0,
         dt = horizon / Po
         ang = rng.uniform(0, 2 * np.pi)
         vel = obstacle_speed * np.array([np.cos(ang), np.sin(ang)])
-        start = np.array([length * rng.uniform(0.3, 0.7),
-                          lateral + rng.uniform(6.0, 10.0)])
+        # start on/near the ego path so the interaction penalty activates
+        u = rng.uniform(0.3, 0.7)
+        start = np.array([length * u + rng.uniform(-1.0, 1.0),
+                          lateral * u + rng.uniform(-1.5, 1.5)])
         # piecewise-linear as quintic pieces: c0 = segment start, c1 = vel*dt
         for pp in range(Po):
             obs_coef[o, pp, 0] = start + vel * (pp * dt)

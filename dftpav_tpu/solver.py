@@ -40,25 +40,40 @@ def clamp_boundary_states(scen: Scenario, w: Weights) -> Scenario:
 
 def solve_one(scen: Scenario, w: Weights, dims: Dims, cfg: PlannerConfig,
               max_iterations: int | None = None) -> SolveResult:
-    """Solve a single scenario (vmap over a batch of pytrees to batch)."""
+    """Solve a single scenario (vmap over a batch of pytrees to batch).
+
+    Traced under bf16x3 ("float32") matmul precision: the TPU MXU's default
+    bf16 truncation costs ~3 decimal digits in the MINCO solve and basis
+    einsums, which stalls the line search (lanes exhaust max_linesearch at
+    ~2.5x the converged cost). bf16x3 restores f32-true matmuls at ~3x MXU
+    cost — negligible here, the matrices are tiny.
+    """
+    with jax.default_matmul_precision("float32"):
+        return _solve_one(scen, w, dims, cfg, max_iterations)
+
+
+def _solve_one(scen: Scenario, w: Weights, dims: Dims, cfg: PlannerConfig,
+               max_iterations: int | None = None) -> SolveResult:
     scen = clamp_boundary_states(scen, w)
     x0 = cost_mod.initial_guess(scen, w, dims)
 
+    scale = cfg.opt.cost_scale
     fun = jax.value_and_grad(
-        lambda x: cost_mod.total_cost(x, scen, w, dims, cfg)[0])
+        lambda x: scale * cost_mod.total_cost(x, scen, w, dims, cfg)[0])
     res = lbfgs.minimize(fun, x0, cfg.opt.lbfgs, max_iterations=max_iterations)
 
     u = cost_mod.unpack(res.x, dims)
     T = cost_mod.virtual_to_real(u.vt, w.mini_t)
     dT = T / dims.N
     heads, tails = cost_mod.boundary_states(scen, u, w, dims)
-    Ainv = jnp.asarray(minco.minco_inverse(dims.N), res.x.dtype)
+    maps = minco.maps_as(dims.N, res.x.dtype)
     coeffs = jax.vmap(minco.generate, in_axes=(0, 0, 0, 0, None))(
-        u.inner, dT, heads, tails, Ainv)
+        u.inner, dT, heads, tails, maps)
 
+    cost = res.f / scale
     ok = res.status >= 0
-    success = ok & (res.f < cfg.opt.reject_cost)
-    return SolveResult(coeffs=coeffs, dT=dT, cost=res.f, n_iters=res.n_iters,
+    success = ok & (cost < cfg.opt.reject_cost)
+    return SolveResult(coeffs=coeffs, dT=dT, cost=cost, n_iters=res.n_iters,
                        status=res.status, success=success)
 
 

@@ -21,7 +21,7 @@ def random_problem(rng, N):
 def test_generate_satisfies_constraints(N):
     rng = np.random.default_rng(N)
     inner, dT, head, tail = random_problem(rng, N)
-    Ainv = jnp.asarray(minco.minco_inverse(N))
+    Ainv = minco.maps_as(N, jnp.float64)
     b = minco.generate(jnp.asarray(inner), dT, jnp.asarray(head),
                        jnp.asarray(tail), Ainv)
 
@@ -66,7 +66,7 @@ def test_generate_is_min_jerk():
     rhs[-2] = tail[:, 1] * dT
     rhs[-1] = tail[:, 2] * dT * dT
     b_dense = np.linalg.solve(A, rhs).reshape(N, 6, 2)
-    Ainv = jnp.asarray(minco.minco_inverse(N))
+    Ainv = minco.maps_as(N, jnp.float64)
     b = minco.generate(jnp.asarray(inner), dT, jnp.asarray(head),
                        jnp.asarray(tail), Ainv)
     np.testing.assert_allclose(np.asarray(b), b_dense, atol=1e-9)
@@ -76,7 +76,7 @@ def test_jerk_cost_matches_quadrature():
     N = 5
     rng = np.random.default_rng(3)
     inner, dT, head, tail = random_problem(rng, N)
-    Ainv = jnp.asarray(minco.minco_inverse(N))
+    Ainv = minco.maps_as(N, jnp.float64)
     b = minco.generate(jnp.asarray(inner), dT, jnp.asarray(head),
                        jnp.asarray(tail), Ainv)
     energy = float(minco.jerk_cost(b, dT))
@@ -96,7 +96,7 @@ def test_flat_states_match_finite_difference():
     N = 4
     rng = np.random.default_rng(11)
     inner, dT, head, tail = random_problem(rng, N)
-    Ainv = jnp.asarray(minco.minco_inverse(N))
+    Ainv = minco.maps_as(N, jnp.float64)
     b = minco.generate(jnp.asarray(inner), dT, jnp.asarray(head),
                        jnp.asarray(tail), Ainv)
     for singul in (1, -1):
@@ -139,7 +139,7 @@ def test_generate_vmap_and_grad():
     head = jnp.asarray(rng.normal(size=(B, 2, 3)))
     tail = jnp.asarray(rng.normal(size=(B, 2, 3)))
     dT = jnp.asarray(rng.uniform(0.5, 1.5, size=(B,)))
-    Ainv = jnp.asarray(minco.minco_inverse(N))
+    Ainv = minco.maps_as(N, jnp.float64)
 
     def cost(inner, dT, head, tail):
         b = minco.generate(inner, dT, head, tail, Ainv)
