@@ -120,10 +120,18 @@ def boundary_states(scen: Scenario, u: Unpacked, w: Weights, dims: Dims):
         ca = jnp.cos(u.gear_ang)
         sa = jnp.sin(u.gear_ang)
         gvel = w.non_sinv * jnp.stack([ca, sa], axis=-1)      # [S-1, 2]
-        heads = heads.at[1:, :, 0].set(u.gear_pos)
-        heads = heads.at[1:, :, 1].set(-gvel)
-        tails = tails.at[:-1, :, 0].set(u.gear_pos)
-        tails = tails.at[:-1, :, 1].set(gvel)
+        # junction j (between segments j and j+1) is real only when segment
+        # j+1 is unmasked; padded tails must keep the original fin_state or
+        # the last real segment's endpoint would become a free variable
+        jmask = scen.seg_mask[1:, None]                        # [S-1, 1]
+        heads = heads.at[1:, :, 0].set(
+            jnp.where(jmask, u.gear_pos, heads[1:, :, 0]))
+        heads = heads.at[1:, :, 1].set(
+            jnp.where(jmask, -gvel, heads[1:, :, 1]))
+        tails = tails.at[:-1, :, 0].set(
+            jnp.where(jmask, u.gear_pos, tails[:-1, :, 0]))
+        tails = tails.at[:-1, :, 1].set(
+            jnp.where(jmask, gvel, tails[:-1, :, 1]))
     return heads, tails
 
 
