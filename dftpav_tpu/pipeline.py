@@ -35,16 +35,26 @@ class PlanMeta:
     durations: np.ndarray     # [n_segments] front-end time profile
     singuls: np.ndarray       # [n_segments]
     sample_traj: np.ndarray   # [M, 3] rough kino path
+    dims: object = None       # the Dims class this scenario was built for
 
 
 class ParkingPlanner:
     """Plans scenarios against a grid map and assembles solver inputs."""
 
     def __init__(self, grid: GridMap2D, cfg: PlannerConfig | None = None,
-                 dims: Dims | None = None, dtype=np.float32):
+                 dims: Dims | None = None, dtype=np.float32,
+                 small_dims: Dims | None = None, short_plan_s: float = 1.5):
+        """small_dims, when given, is used for plans whose longest segment is
+        shorter than short_plan_s — the reference picks the piece count from
+        the segment duration (max(round(dur/1s), 2), traj_manager.cpp:543);
+        with static shapes we quantize that to two compile classes so
+        centimeter recovery maneuvers aren't forced onto N=8 pieces (which
+        explodes the jerk/feasibility costs and gets rejected)."""
         self.grid = grid
         self.cfg = cfg or PlannerConfig()
         self.dims = dims or Dims(S=2, N=8, K=16, Kdes=32, H=4, O=0, Po=8)
+        self.small_dims = small_dims
+        self.short_plan_s = short_plan_s
         self.dtype = dtype
         self.astar = KinoAstarPlanner(grid, self.cfg.frontend,
                                       self.cfg.vehicle)
@@ -72,6 +82,10 @@ class ParkingPlanner:
             nseg = lib.df_plan_nsegs(h)
             if nseg > dims.S:
                 return None, None
+            seg_durs = [lib.df_plan_seg_duration(h, i) for i in range(nseg)]
+            if self.small_dims is not None and \
+                    max(seg_durs) < self.short_plan_s:
+                dims = self.small_dims
 
             N, K1 = dims.N, dims.K1
             dt_ = self.dtype
@@ -145,7 +159,7 @@ class ParkingPlanner:
             samples = np.empty((ns, 3))
             lib.df_plan_samples(h, _dptr(samples))
             meta = PlanMeta(n_segments=nseg, durations=durations,
-                            singuls=singuls, sample_traj=samples)
+                            singuls=singuls, sample_traj=samples, dims=dims)
             return scen, meta
         finally:
             lib.df_plan_destroy(h)
