@@ -141,39 +141,42 @@ class _Carry(NamedTuple):
     g: jnp.ndarray
     d: jnp.ndarray
     step: jnp.ndarray
-    lm_s: jnp.ndarray   # [m, D]
+    lm_s: jnp.ndarray   # [m, D] newest-first
     lm_y: jnp.ndarray   # [m, D]
     lm_ys: jnp.ndarray  # [m]
     pf: jnp.ndarray     # [past]
-    end: jnp.ndarray
     bound: jnp.ndarray
     k: jnp.ndarray
     n_evals: jnp.ndarray
     status: jnp.ndarray
 
 
-def _two_loop(g, lm_s, lm_y, lm_ys, end, bound, ys, yy):
-    """Nocedal two-loop recursion over the ring buffer (lbfgs.hpp:709-741)."""
+def _two_loop(g, lm_s, lm_y, lm_ys, bound, ys, yy):
+    """Nocedal two-loop recursion (lbfgs.hpp:709-741) over a newest-first
+    rolled history.
+
+    The reference's ring buffer needs dynamic modular indexing; on TPU each
+    dynamically-indexed loop step is a separately-launched region with ~ms
+    overhead, which made the frame 20x the cost evaluation. Storing history
+    newest-first (a [m, D] roll per update) makes every index static, so the
+    whole recursion fuses into one block of 2m small vector ops. Same math,
+    same iterate path.
+    """
     m = lm_s.shape[0]
     d = -g
-
-    def loop1(i, carry):
-        d, alphas = carry
-        j = jnp.mod(end - 1 - i, m)
-        a = jnp.vdot(lm_s[j], d) / lm_ys[j]
-        d = jnp.where(i < bound, d - a * lm_y[j], d)
-        alphas = alphas.at[j].set(jnp.where(i < bound, a, 0.0))
-        return d, alphas
-
-    d, alphas = jax.lax.fori_loop(0, m, loop1, (d, jnp.zeros_like(lm_ys)))
+    alphas = []
+    for i in range(m):  # newest -> oldest
+        live = i < bound
+        a = jnp.vdot(lm_s[i], d) / lm_ys[i]
+        a = jnp.where(live, a, 0.0)
+        d = d - a * lm_y[i]
+        alphas.append(a)
     d = d * (ys / yy)
-
-    def loop2(i, d):
-        j = jnp.mod(end - bound + i, m)
-        b = jnp.vdot(lm_y[j], d) / lm_ys[j]
-        return jnp.where(i < bound, d + (alphas[j] - b) * lm_s[j], d)
-
-    return jax.lax.fori_loop(0, m, loop2, d)
+    for i in range(m - 1, -1, -1):  # oldest -> newest
+        live = i < bound
+        b = jnp.where(live, jnp.vdot(lm_y[i], d) / lm_ys[i], 0.0)
+        d = d + (alphas[i] - b) * lm_s[i]
+    return d
 
 
 def minimize(fun: Callable, x0: jnp.ndarray, p: LBFGSParams,
@@ -196,7 +199,7 @@ def minimize(fun: Callable, x0: jnp.ndarray, p: LBFGSParams,
         step=1.0 / jnp.maximum(jnp.linalg.norm(d0), 1e-300),
         lm_s=jnp.zeros((m, D), dtype), lm_y=jnp.zeros((m, D), dtype),
         lm_ys=jnp.ones((m,), dtype), pf=pf0,
-        end=jnp.zeros((), jnp.int32), bound=jnp.zeros((), jnp.int32),
+        bound=jnp.zeros((), jnp.int32),
         k=jnp.ones((), jnp.int32), n_evals=jnp.ones((), jnp.int32),
         status=jnp.where(already, Status.CONVERGENCE, Status.RUNNING),
     )
@@ -247,18 +250,21 @@ def minimize(fun: Callable, x0: jnp.ndarray, p: LBFGSParams,
         cau = jnp.vdot(s, s) * jnp.linalg.norm(gp) * p.cautious_factor
         do_update = (ys > cau) & (status == Status.RUNNING)
 
-        lm_s = jnp.where(do_update, c.lm_s.at[c.end].set(s), c.lm_s)
-        lm_y = jnp.where(do_update, c.lm_y.at[c.end].set(y), c.lm_y)
-        lm_ys = jnp.where(do_update, c.lm_ys.at[c.end].set(ys), c.lm_ys)
+        # newest-first roll (see _two_loop for why not a ring buffer)
+        lm_s = jnp.where(do_update,
+                         jnp.concatenate([s[None], c.lm_s[:-1]]), c.lm_s)
+        lm_y = jnp.where(do_update,
+                         jnp.concatenate([y[None], c.lm_y[:-1]]), c.lm_y)
+        lm_ys = jnp.where(do_update,
+                          jnp.concatenate([ys[None], c.lm_ys[:-1]]), c.lm_ys)
         bound = jnp.where(do_update, jnp.minimum(c.bound + 1, m), c.bound)
-        end = jnp.where(do_update, jnp.mod(c.end + 1, m), c.end)
 
-        d_new = _two_loop(g, lm_s, lm_y, lm_ys, end, bound, ys,
+        d_new = _two_loop(g, lm_s, lm_y, lm_ys, bound, ys,
                           jnp.maximum(yy, 1e-300))
         d = jnp.where(do_update, d_new, -g)
 
         return _Carry(x=x, f=f, g=g, d=d, step=jnp.ones((), dtype),
-                      lm_s=lm_s, lm_y=lm_y, lm_ys=lm_ys, pf=pf, end=end,
+                      lm_s=lm_s, lm_y=lm_y, lm_ys=lm_ys, pf=pf,
                       bound=bound, k=k, n_evals=n_evals, status=status)
 
     out = jax.lax.while_loop(cond, body, init)

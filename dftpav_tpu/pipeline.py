@@ -43,18 +43,26 @@ class ParkingPlanner:
 
     def __init__(self, grid: GridMap2D, cfg: PlannerConfig | None = None,
                  dims: Dims | None = None, dtype=np.float32,
-                 small_dims: Dims | None = None, short_plan_s: float = 1.5):
-        """small_dims, when given, is used for plans whose longest segment is
-        shorter than short_plan_s — the reference picks the piece count from
-        the segment duration (max(round(dur/1s), 2), traj_manager.cpp:543);
-        with static shapes we quantize that to two compile classes so
-        centimeter recovery maneuvers aren't forced onto N=8 pieces (which
-        explodes the jerk/feasibility costs and gets rejected)."""
+                 small_dims: Dims | None = None, short_plan_s: float = 1.5,
+                 dims_classes=None):
+        """Piece-count classes. The reference picks each segment's piece
+        count from its duration (max(round(dur/1s), 2),
+        traj_manager.cpp:543); with static shapes we quantize to a ladder of
+        compile classes (`dims_classes`, e.g. N in {2, 4, 8}) chosen by the
+        longest segment's duration. Over-piecing a short gear segment onto
+        N=8 makes the warm-start spline wildly jerky and the solve gets
+        rejected; the ladder keeps piece granularity near the reference's.
+
+        Back-compat: `small_dims`/`short_plan_s` emulate a two-class ladder;
+        `dims` alone pins a single class (used by the batch bench, where
+        scenario durations are homogeneous)."""
         self.grid = grid
         self.cfg = cfg or PlannerConfig()
         self.dims = dims or Dims(S=2, N=8, K=16, Kdes=32, H=4, O=0, Po=8)
         self.small_dims = small_dims
         self.short_plan_s = short_plan_s
+        self.dims_classes = (sorted(dims_classes, key=lambda d: d.N)
+                             if dims_classes else None)
         self.dtype = dtype
         self.astar = KinoAstarPlanner(grid, self.cfg.frontend,
                                       self.cfg.vehicle)
@@ -83,7 +91,17 @@ class ParkingPlanner:
             if nseg > dims.S:
                 return None, None
             seg_durs = [lib.df_plan_seg_duration(h, i) for i in range(nseg)]
-            if self.small_dims is not None and \
+            if self.dims_classes:
+                want = max(2, int(round(max(seg_durs)
+                                        / cfg.opt.traj_piece_duration)))
+                dims = self.dims_classes[-1]
+                for d in self.dims_classes:
+                    if d.N >= want:
+                        dims = d
+                        break
+                if nseg > dims.S:
+                    return None, None
+            elif self.small_dims is not None and \
                     max(seg_durs) < self.short_plan_s:
                 dims = self.small_dims
 

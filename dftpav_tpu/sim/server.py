@@ -132,6 +132,7 @@ class PlannerServer:
         scen, meta = self.pp.plan_scenario(start, tuple(self.goal))
         if scen is None:
             self.n_failures += 1
+            self.last_failure = ("frontend", start)
             return False
         dims = meta.dims or self.dims
         if self.movers:
@@ -146,6 +147,8 @@ class PlannerServer:
         res = self._solvers[dims](batch, self._w)
         if not bool(np.asarray(res.success.astype(jnp.int32))[0]):
             self.n_failures += 1
+            self.last_failure = ("solver", start, int(np.asarray(res.status)[0]),
+                                 float(np.asarray(res.cost)[0]))
             return False
         res0 = jax.tree.map(lambda a: np.asarray(a)[0], res)
         self.container.set_from_solve(res0, np.asarray(scen.singul),

@@ -103,8 +103,11 @@ def tracking_control(state, desired, wheel_base, k_steer=8.0, k_v=4.0,
     e_lat = -s * ex + c * ey
     e_th = np.arctan2(np.sin(desired["theta"] - state[2]),
                       np.cos(desired["theta"] - state[2]))
+    # theta' = v tan(delta)/L: the steering-to-heading gain flips sign with
+    # the drive direction, so BOTH heading and lateral feedback must be
+    # multiplied by sign(v) or reverse tracking is unstable.
     sgn = 1.0 if desired["vel"] >= 0 else -1.0
-    steer_des = desired["steer"] + k_theta * e_th + k_pos * sgn * e_lat
+    steer_des = desired["steer"] + sgn * (k_theta * e_th + k_pos * e_lat)
     steer_rate = k_steer * (steer_des - state[3])
     acc = desired["acc"] + k_v * (desired["vel"] - state[4]) \
         + k_pos * e_lon
