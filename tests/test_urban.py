@@ -1,0 +1,257 @@
+"""Urban stack tests: lanes/Frenet, IDM family, steer plant, forward sim, MPDM."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dftpav_tpu.urban import forward_sim as fsim
+from dftpav_tpu.urban import geometry, idm, lane as lane_mod, mpdm, steer
+
+
+def straight_lane(y=0.0, length=200.0, ds=1.0, P=256):
+    wps = np.stack([np.linspace(0, length, 21), y * np.ones(21)], 1)
+    return lane_mod.build_lane(wps, ds=ds, P=P)
+
+
+def two_lane_set():
+    l0 = straight_lane(0.0)
+    l1 = straight_lane(3.5)
+    return lane_mod.build_lane_set([l0, l1], left_ids=[1, -1],
+                                   right_ids=[-1, 0])
+
+
+def default_geom(A):
+    ones = jnp.ones(A)
+    return fsim.AgentGeom(length=4.88 * ones, width=1.9 * ones,
+                          d_cr=1.015 * ones, wheel_base=2.85 * ones)
+
+
+# ---------------------------------------------------------------------------
+# lanes / Frenet
+# ---------------------------------------------------------------------------
+
+class TestLane:
+    def test_frenet_roundtrip_straight(self):
+        lane = straight_lane()
+        s, d = lane_mod.frenet_of_point(lane, jnp.array([10.0, 2.0]))
+        assert float(s) == pytest.approx(10.0, abs=1e-3)
+        assert float(d) == pytest.approx(2.0, abs=1e-3)
+        pos, heading = lane_mod.state_of_frenet(lane, s, d)
+        np.testing.assert_allclose(np.asarray(pos), [10.0, 2.0], atol=1e-3)
+        assert float(heading) == pytest.approx(0.0, abs=1e-6)
+
+    def test_arc_lane_curvature(self):
+        R = 30.0
+        t = np.linspace(0, np.pi / 2, 40)
+        wps = np.stack([R * np.sin(t), R * (1 - np.cos(t))], 1)
+        lane = lane_mod.build_lane(wps, ds=0.5, P=256)
+        _, _, kappa = lane_mod.lane_point(lane, jnp.asarray(15.0))
+        assert float(kappa) == pytest.approx(1.0 / R, rel=0.1)
+        # arc length of the projection of a point at angle 0.5 rad
+        p = jnp.array([R * np.sin(0.5), R * (1 - np.cos(0.5))])
+        s, d = lane_mod.frenet_of_point(lane, p)
+        assert float(s) == pytest.approx(R * 0.5, abs=0.1)
+        assert float(d) == pytest.approx(0.0, abs=0.05)
+
+    def test_frenet_state_velocity_split(self):
+        lane = straight_lane()
+        fs = lane_mod.frenet_of_state(
+            lane, jnp.array([5.0, 0.5]), jnp.asarray(np.pi / 6),
+            jnp.asarray(2.0))
+        assert float(fs.s_dot) == pytest.approx(2.0 * np.cos(np.pi / 6), abs=1e-4)
+        assert float(fs.d_prime) == pytest.approx(np.tan(np.pi / 6), abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# IDM family (golden values from the reference formulas,
+# intelligent_driver_model.cc:5-93)
+# ---------------------------------------------------------------------------
+
+class TestIDM:
+    def p(self, v0=5.0):
+        return idm.IDMParam(desired_velocity=v0)
+
+    def test_idm_free_flow_at_v0_is_zero(self):
+        a = idm.idm_acc(self.p(), 0.0, 5.0, 1e9, 5.0)
+        assert float(a) == pytest.approx(0.0, abs=1e-6)
+
+    def test_idm_matches_closed_form(self):
+        p = self.p()
+        s, v, sf, vf = 0.0, 3.0, 30.0, 2.0
+        s_star = 2.0 + max(0.0, v * 1.0 + v * (v - vf)
+                           / (2 * np.sqrt(2.0 * 3.0)))
+        s_alpha = sf - s - 5.0
+        want = 2.0 * (1 - (v / 5.0) ** 4 - (s_star / s_alpha) ** 2)
+        got = float(idm.idm_acc(p, s, v, sf, vf))
+        assert got == pytest.approx(want, rel=1e-6)
+
+    def test_iidm_clamped(self):
+        p = self.p()
+        a = idm.iidm_acc(p, 0.0, 4.0, 5.5, 0.0)  # nearly touching leader
+        assert float(a) == pytest.approx(-5.0, abs=1e-6)  # hard braking clamp
+        a2 = idm.iidm_acc(p, 0.0, 0.0, 1e9, 0.0)
+        assert float(a2) == pytest.approx(2.0, rel=1e-6)  # full free acc
+
+    def test_acc_blends_toward_iidm_when_safe(self):
+        p = self.p()
+        a_acc = idm.acc_acc(p, 0.0, 3.0, 1e6, 3.0)
+        a_iidm = idm.iidm_acc(p, 0.0, 3.0, 1e6, 3.0)
+        assert float(a_acc) == pytest.approx(float(a_iidm), abs=1e-5)
+
+    def test_idm_velocity_decelerates_behind_slow_leader(self):
+        p = self.p()
+        v1 = idm.idm_velocity(p, 0.0, 12.0, 4.0, 1.0, 0.4)
+        assert 0.0 <= float(v1) < 4.0
+
+    def test_idm_velocity_accelerates_free_road(self):
+        p = self.p()
+        v1 = idm.idm_velocity(p, 0.0, 1e6, 2.0, 2.0, 0.4)
+        assert float(v1) > 2.0
+
+    def test_ctx_idm_tracks_target(self):
+        p = self.p()
+        # target 10 m ahead moving at 4: accelerate (clipped at +1 m/s^2)
+        v1 = idm.ctx_idm_velocity(p, 0.0, 2.0, 1e6, 0.0, 10.0, 4.0, 0.4)
+        assert float(v1) == pytest.approx(2.4, abs=0.05)
+
+
+# ---------------------------------------------------------------------------
+# steer plant
+# ---------------------------------------------------------------------------
+
+class TestSteerPlant:
+    def test_straight_constant_velocity(self):
+        s0 = jnp.array([0.0, 0.0, 0.0, 3.0, 0.0, 0.0])
+        s1 = steer.ideal_steer_step(s0, 0.0, 3.0, 2.85, steer.SteerLimits(),
+                                    0.4)
+        np.testing.assert_allclose(np.asarray(s1)[:4], [1.2, 0, 0, 3.0],
+                                   atol=1e-5)
+
+    def test_lon_jerk_and_acc_limits(self):
+        lim = steer.SteerLimits()
+        s0 = jnp.array([0.0, 0.0, 0.0, 3.0, 0.0, 0.0])
+        s1 = steer.ideal_steer_step(s0, 0.0, 100.0, 2.85, lim, 0.4)
+        # jerk limit 5 -> acc after dt <= 0 + 5*0.4 = 2.0 (also the acc cap)
+        assert float(s1[steer.V]) <= 3.0 + 2.0 * 0.4 + 1e-5
+
+    def test_steer_rate_limit(self):
+        lim = steer.SteerLimits()
+        s0 = jnp.array([0.0, 0.0, 0.0, 3.0, 0.0, 0.0])
+        s1 = steer.ideal_steer_step(s0, 0.6, 3.0, 2.85, lim, 0.4)
+        assert abs(float(s1[steer.ST])) <= float(lim.max_steer_rate) * 0.4 + 1e-5
+
+    def test_velocity_never_negative(self):
+        s0 = jnp.array([0.0, 0.0, 0.0, 0.5, 0.0, 0.0])
+        s1 = steer.ideal_steer_step(s0, 0.0, 0.0, 2.85, steer.SteerLimits(),
+                                    0.4)
+        assert float(s1[steer.V]) >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# OBB geometry
+# ---------------------------------------------------------------------------
+
+class TestOBB:
+    def test_overlap_and_separation(self):
+        va = geometry.obb_vertices(jnp.asarray(0.0), jnp.asarray(0.0),
+                                   jnp.asarray(0.0), 4.88, 1.9, 1.015)
+        vb = geometry.obb_vertices(jnp.asarray(3.0), jnp.asarray(0.0),
+                                   jnp.asarray(0.0), 4.88, 1.9, 1.015)
+        vc = geometry.obb_vertices(jnp.asarray(10.0), jnp.asarray(0.0),
+                                   jnp.asarray(0.0), 4.88, 1.9, 1.015)
+        assert bool(geometry.obb_overlap(va, vb))
+        assert not bool(geometry.obb_overlap(va, vc))
+
+    def test_rotated_narrow_miss(self):
+        va = geometry.obb_vertices(jnp.asarray(0.0), jnp.asarray(0.0),
+                                   jnp.asarray(0.0), 4.0, 2.0, 0.0)
+        vb = geometry.obb_vertices(jnp.asarray(0.0), jnp.asarray(2.9),
+                                   jnp.asarray(np.pi / 2), 4.0, 2.0, 0.0)
+        # vertical car at y=2.9: half-length 2.0 + half-width 1.0 = 3.0 > 2.9
+        assert bool(geometry.obb_overlap(va, vb))
+        vb2 = geometry.obb_vertices(jnp.asarray(0.0), jnp.asarray(3.1),
+                                    jnp.asarray(np.pi / 2), 4.0, 2.0, 0.0)
+        assert not bool(geometry.obb_overlap(va, vb2))
+
+
+# ---------------------------------------------------------------------------
+# forward simulation
+# ---------------------------------------------------------------------------
+
+class TestForwardSim:
+    def test_follower_never_hits_leader(self):
+        lane = straight_lane()
+        lanes = jax.tree.map(lambda f: jnp.stack([f, f]), lane)
+        states = jnp.array([[0.0, 0.0, 0.0, 8.0, 0.0, 0.0],
+                            [20.0, 0.0, 0.0, 0.5, 0.0, 0.0]])
+        geom_ = default_geom(2)
+        traj = fsim.rollout(lanes, states, geom_, jnp.array([8.0, 0.5]),
+                            fsim.SimParam(), 0.4, 25)
+        gaps = traj[:, 1, 0] - traj[:, 0, 0]
+        assert float(gaps.min()) > 4.0  # bumper-to-bumper stays positive
+
+    def test_converges_to_lane_center(self):
+        lane = straight_lane()
+        lanes = jax.tree.map(lambda f: f[None], lane)
+        states = jnp.array([[0.0, 1.5, 0.3, 5.0, 0.0, 0.0]])
+        traj = fsim.rollout(lanes, states, default_geom(1), jnp.array([5.0]),
+                            fsim.SimParam(), 0.4, 40)
+        assert abs(float(traj[-1, 0, 1])) < 0.3
+
+    def test_free_agent_reaches_desired_velocity(self):
+        lane = straight_lane(length=400.0)
+        lanes = jax.tree.map(lambda f: f[None], lane)
+        states = jnp.array([[0.0, 0.0, 0.0, 2.0, 0.0, 0.0]])
+        traj = fsim.rollout(lanes, states, default_geom(1), jnp.array([6.0]),
+                            fsim.SimParam(), 0.4, 50)
+        assert float(traj[-1, 0, fsim.V]) == pytest.approx(6.0, abs=0.2)
+
+
+# ---------------------------------------------------------------------------
+# MPDM
+# ---------------------------------------------------------------------------
+
+class TestMPDM:
+    def setup_method(self, _):
+        self.ls = two_lane_set()
+        self.geom = default_geom(2)
+        self.lane_ids = jnp.array([0, 0], dtype=jnp.int32)
+        self.p = fsim.SimParam()
+        self.cfg = mpdm.MPDMConfig(desired_velocity=8.0)
+
+    def test_changes_lane_past_slow_leader(self):
+        states = jnp.array([[0.0, 0.0, 0.0, 5.0, 0.0, 0.0],
+                            [25.0, 0.0, 0.0, 1.0, 0.0, 0.0]])
+        res = mpdm.mpdm_plan(self.ls, states, self.lane_ids, self.geom, 0,
+                             self.p, self.cfg)
+        assert int(res.behavior) == mpdm.LCL
+        assert bool(res.valid[mpdm.LCL])
+        assert not bool(res.valid[mpdm.LCR])  # no right neighbor lane
+
+    def test_keeps_lane_on_free_road(self):
+        states = jnp.array([[0.0, 0.0, 0.0, 5.0, 0.0, 0.0],
+                            [150.0, 0.0, 0.0, 1.0, 0.0, 0.0]])
+        res = mpdm.mpdm_plan(self.ls, states, self.lane_ids, self.geom, 0,
+                             self.p, self.cfg)
+        assert int(res.behavior) == mpdm.LK
+
+    def test_desired_vel_clamped_to_gap(self):
+        states = jnp.array([[0.0, 0.0, 0.0, 1.0, 0.0, 0.0],
+                            [150.0, 0.0, 0.0, 1.0, 0.0, 0.0]])
+        res = mpdm.mpdm_plan(self.ls, states, self.lane_ids, self.geom, 0,
+                             self.p, self.cfg)
+        assert float(res.desired_vel) <= 1.0 + self.cfg.max_vel_cmd_gap + 1e-5
+
+    def test_jit_and_batchable(self):
+        states = jnp.array([[0.0, 0.0, 0.0, 5.0, 0.0, 0.0],
+                            [25.0, 0.0, 0.0, 1.0, 0.0, 0.0]])
+
+        fn = jax.jit(lambda st: mpdm.mpdm_plan(
+            self.ls, st, self.lane_ids, self.geom, 0, self.p, self.cfg))
+        res = fn(states)
+        batch = jax.vmap(lambda st: mpdm.mpdm_plan(
+            self.ls, st, self.lane_ids, self.geom, 0, self.p,
+            self.cfg).behavior)(jnp.stack([states, states]))
+        assert batch.shape == (2,)
+        assert int(batch[0]) == int(res.behavior)
