@@ -77,11 +77,64 @@ def _solve_one(scen: Scenario, w: Weights, dims: Dims, cfg: PlannerConfig,
                        status=res.status, success=success)
 
 
+def solve_batch_bminor(batch: Scenario, w: Weights, dims: Dims,
+                       cfg: PlannerConfig,
+                       max_iterations: int | None = None) -> SolveResult:
+    """Batch solve in the batch-minor layout (see dftpav_tpu.ops.__doc__).
+
+    Same math and iterate path as vmap(solve_one) — parity-tested in
+    tests/test_ops.py — but every tensor carries the scenario batch as its
+    trailing axis, cutting cost+grad HBM traffic ~50x on TPU.
+    """
+    from dftpav_tpu.ops import bcost, blbfgs
+
+    with jax.default_matmul_precision("float32"):
+        batch = jax.vmap(lambda s: clamp_boundary_states(s, w))(batch)
+        x0 = jax.vmap(lambda s: cost_mod.initial_guess(s, w, dims))(batch)
+        bm = bcost.to_bminor(batch)
+        scale = cfg.opt.cost_scale
+
+        def f_sum(xT):
+            f, _aux = bcost.total_cost_b(xT, bm, w, dims, cfg)
+            fs = scale * f
+            return jnp.sum(fs), fs
+
+        def fun(xT):
+            (_, f), g = jax.value_and_grad(f_sum, has_aux=True)(xT)
+            return f, g
+
+        res = blbfgs.minimize_b(fun, x0.T, cfg.opt.lbfgs,
+                                max_iterations=max_iterations)
+
+        u = bcost.unpack_b(res.x, dims)
+        T = cost_mod.virtual_to_real(u.vt, w.mini_t)        # [S, B]
+        dT = T / dims.N
+        heads, tails = bcost.boundary_states_b(bm, u, w, dims)
+        maps = minco.maps_as(dims.N, res.x.dtype)
+        coeffs = bcost.generate_b(u.inner, dT, heads, tails, maps)
+
+        cost = res.f / scale
+        ok = res.status >= 0
+        success = ok & (cost < cfg.opt.reject_cost)
+        return SolveResult(coeffs=jnp.moveaxis(coeffs, -1, 0),
+                           dT=dT.T, cost=cost, n_iters=res.n_iters,
+                           status=res.status, success=success)
+
+
 def make_solver(cfg: PlannerConfig, dims: Dims,
-                max_iterations: int | None = None, jit: bool = True):
-    """Build a batched solver: (Scenario with leading [B] axis, Weights) -> SolveResult."""
-    fn = jax.vmap(
-        functools.partial(solve_one, dims=dims, cfg=cfg,
-                          max_iterations=max_iterations),
-        in_axes=(0, None))
+                max_iterations: int | None = None, jit: bool = True,
+                engine: str = "bminor"):
+    """Build a batched solver: (Scenario with leading [B] axis, Weights) -> SolveResult.
+
+    engine="bminor" (default) uses the TPU-optimized batch-minor path;
+    engine="vmap" uses the readable reference path (identical math).
+    """
+    if engine == "bminor":
+        fn = functools.partial(solve_batch_bminor, dims=dims, cfg=cfg,
+                               max_iterations=max_iterations)
+    else:
+        fn = jax.vmap(
+            functools.partial(solve_one, dims=dims, cfg=cfg,
+                              max_iterations=max_iterations),
+            in_axes=(0, None))
     return jax.jit(fn) if jit else fn

@@ -255,3 +255,39 @@ class TestMPDM:
             self.cfg).behavior)(jnp.stack([states, states]))
         assert batch.shape == (2,)
         assert int(batch[0]) == int(res.behavior)
+
+
+# ---------------------------------------------------------------------------
+# EUDM (DCP-tree)
+# ---------------------------------------------------------------------------
+
+class TestEUDM:
+    def test_dcp_tree_leaf_count_and_structure(self):
+        from dftpav_tpu.urban import eudm
+        script = eudm.dcp_action_script(5)
+        assert script.shape == (3 * (2 * 4 + 1), 5, 2)
+        # each leaf has at most one lateral switch point
+        lat = script[:, :, 1]
+        switches = (lat[:, 1:] != lat[:, :-1]).sum(axis=1)
+        assert switches.max() <= 1
+
+    def test_changes_lane_past_slow_leader(self):
+        from dftpav_tpu.urban import eudm
+        ls = two_lane_set()
+        states = jnp.array([[0.0, 0.0, 0.0, 5.0, 0.0, 0.0],
+                            [25.0, 0.0, 0.0, 1.0, 0.0, 0.0]])
+        res = eudm.eudm_plan(ls, states, jnp.array([0, 0], jnp.int32),
+                             default_geom(2), 0, fsim.SimParam(),
+                             eudm.EUDMConfig(desired_velocity=8.0))
+        assert int(res.behavior) == 1  # LCL
+        assert bool(res.valid[int(res.best_policy)])
+
+    def test_keeps_lane_free_road(self):
+        from dftpav_tpu.urban import eudm
+        ls = two_lane_set()
+        states = jnp.array([[0.0, 0.0, 0.0, 5.0, 0.0, 0.0],
+                            [180.0, 0.0, 0.0, 5.0, 0.0, 0.0]])
+        res = eudm.eudm_plan(ls, states, jnp.array([0, 0], jnp.int32),
+                             default_geom(2), 0, fsim.SimParam(),
+                             eudm.EUDMConfig(desired_velocity=8.0))
+        assert int(res.behavior) == 0
