@@ -291,3 +291,80 @@ class TestEUDM:
                              default_geom(2), 0, fsim.SimParam(),
                              eudm.EUDMConfig(desired_velocity=8.0))
         assert int(res.behavior) == 0
+
+
+# ---------------------------------------------------------------------------
+# RSS + MOBIL
+# ---------------------------------------------------------------------------
+
+class TestRSS:
+    def test_far_ahead_is_safe(self):
+        from dftpav_tpu.urban import rss
+        assert bool(rss.rss_safe(0., 0., 8., 0., 80., 0., 8., 0.))
+
+    def test_tailgating_fast_is_unsafe(self):
+        from dftpav_tpu.urban import rss
+        assert not bool(rss.rss_safe(0., 0., 10., 0., 4., 0., 0., 0.))
+
+    def test_lateral_separation_is_safe(self):
+        from dftpav_tpu.urban import rss
+        assert bool(rss.rss_safe(0., 0., 10., 0., 4., 5., 0., 0.))
+
+    def test_safe_lon_distance_grows_with_speed(self):
+        from dftpav_tpu.urban import rss
+        d1 = float(rss.safe_longitudinal_distance(5.0, 5.0, True))
+        d2 = float(rss.safe_longitudinal_distance(10.0, 5.0, True))
+        assert d2 > d1 >= 0.0
+
+    def test_batched(self):
+        from dftpav_tpu.urban import rss
+        ego_v = jnp.array([10.0, 10.0])
+        other_s = jnp.array([4.0, 80.0])
+        out = rss.rss_safe(jnp.zeros(2), jnp.zeros(2), ego_v, jnp.zeros(2),
+                           other_s, jnp.zeros(2), jnp.zeros(2), jnp.zeros(2))
+        assert out.tolist() == [False, True]
+
+
+class TestMOBIL:
+    def setup_method(self, _):
+        from dftpav_tpu.urban import mobil
+        self.mobil = mobil
+        self.ls = two_lane_set()
+        self.geom = default_geom(3)
+        self.lane_ids = jnp.array([0, 0, 1], jnp.int32)
+
+    def test_stuck_agent_prefers_left_change(self):
+        states = jnp.array([[0.0, 0.0, 0.0, 6.0, 0.0, 0.0],
+                            [12.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+                            [150.0, 3.5, 0.0, 5.0, 0.0, 0.0]])
+        res = self.mobil.mobil_predict(self.ls, states, self.lane_ids,
+                                       self.geom, 0)
+        assert float(res.gain_left) > 1.0
+        assert float(res.prob[1]) > float(res.prob[0])  # LCL beats LK
+        assert float(res.prob[2]) == 0.0  # no right lane
+
+    def test_probabilities_sum_to_one(self):
+        states = jnp.array([[0.0, 0.0, 0.0, 6.0, 0.0, 0.0],
+                            [30.0, 0.0, 0.0, 4.0, 0.0, 0.0],
+                            [150.0, 3.5, 0.0, 5.0, 0.0, 0.0]])
+        probs = self.mobil.predict_all(self.ls, states, self.lane_ids,
+                                       self.geom)
+        np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, atol=1e-6)
+
+    def test_stopped_agent_keeps_lane(self):
+        states = jnp.array([[0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+                            [30.0, 0.0, 0.0, 4.0, 0.0, 0.0],
+                            [150.0, 3.5, 0.0, 5.0, 0.0, 0.0]])
+        res = self.mobil.mobil_predict(self.ls, states, self.lane_ids,
+                                       self.geom, 0)
+        np.testing.assert_allclose(np.asarray(res.prob), [1.0, 0.0, 0.0])
+
+    def test_unsafe_target_lane_blocks_change(self):
+        # a car right beside ego on the left lane: LCL must be unsafe
+        states = jnp.array([[0.0, 0.0, 0.0, 6.0, 0.0, 0.0],
+                            [12.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+                            [1.0, 3.5, 0.0, 6.0, 0.0, 0.0]])
+        res = self.mobil.mobil_predict(self.ls, states, self.lane_ids,
+                                       self.geom, 0)
+        assert not bool(res.lcl_safe)
+        np.testing.assert_allclose(np.asarray(res.prob), [1.0, 0.0, 0.0])
