@@ -1,0 +1,129 @@
+"""Semantic map: occupancy rasterization, lane association, predictions.
+
+Reference: semantic_map_manager (src/Sim/core/semantic_map_manager/):
+DataRenderer rasterizes obstacles into an ego-centric GridMapND with OpenCV
+circles/fillPoly + kd-trees (data_renderer.cc:33-264); SemanticMapManager
+provides nearest-lane association, leading-vehicle queries, MOBIL behavior
+prediction and openloop trajectory prediction (semantic_map_manager.cc).
+
+TPU-native: the grid is a [H, W] jnp array produced by vectorized
+point-in-shape tests (no OpenCV, no kd-trees — neighbor queries are the
+[A, P] projections in forward_sim/mobil); predictions reuse the batched
+forward simulator.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dftpav_tpu.urban import forward_sim as fsim
+from dftpav_tpu.urban import lane as lane_mod
+from dftpav_tpu.urban import mobil
+from dftpav_tpu.urban.lane import LaneSet
+
+
+class GridSpec(NamedTuple):
+    """Ego-centric occupancy grid geometry (GridMapND in the reference;
+    defaults mirror the SMM config's 0.2 m urban grid)."""
+
+    origin: jnp.ndarray       # [2] world position of cell (0, 0)
+    resolution: float = 0.2
+    height: int = 512
+    width: int = 512
+
+
+def _cell_centers(spec: GridSpec):
+    ys = jnp.arange(spec.height) * spec.resolution
+    xs = jnp.arange(spec.width) * spec.resolution
+    gx = spec.origin[0] + xs[None, :]
+    gy = spec.origin[1] + ys[:, None]
+    return gx, gy  # broadcastable [1, W], [H, 1]
+
+
+def rasterize_circles(spec: GridSpec, centers, radii, mask):
+    """Occupancy [H, W] from circle obstacles (DataRenderer's cv::circle
+    fills, data_renderer.cc:121-160). centers [O, 2], radii [O], mask [O]."""
+    gx, gy = _cell_centers(spec)
+    d2 = (gx[None] - centers[:, 0, None, None]) ** 2 \
+        + (gy[None] - centers[:, 1, None, None]) ** 2
+    hit = (d2 <= (radii ** 2)[:, None, None]) & mask[:, None, None]
+    return jnp.any(hit, axis=0)
+
+
+def rasterize_obbs(spec: GridSpec, states, lengths, widths, d_crs, mask):
+    """Occupancy [H, W] from vehicle footprints (cv::fillPoly equivalent).
+
+    states [O, 6] in the steer-plant layout; point-in-OBB test per cell.
+    """
+    gx, gy = _cell_centers(spec)
+    c, s = jnp.cos(states[:, 2]), jnp.sin(states[:, 2])
+    cx = states[:, 0] + d_crs * c
+    cy = states[:, 1] + d_crs * s
+    relx = gx[None] - cx[:, None, None]
+    rely = gy[None] - cy[:, None, None]
+    lon = relx * c[:, None, None] + rely * s[:, None, None]
+    lat = -relx * s[:, None, None] + rely * c[:, None, None]
+    hit = (jnp.abs(lon) <= (lengths / 2)[:, None, None]) \
+        & (jnp.abs(lat) <= (widths / 2)[:, None, None]) \
+        & mask[:, None, None]
+    return jnp.any(hit, axis=0)
+
+
+def occupied_at(spec: GridSpec, grid, pos):
+    """Grid lookup at world positions pos [..., 2] (GridMapND accessor)."""
+    ij = (pos - spec.origin) / spec.resolution
+    i = jnp.clip(ij[..., 1].astype(jnp.int32), 0, spec.height - 1)
+    j = jnp.clip(ij[..., 0].astype(jnp.int32), 0, spec.width - 1)
+    inb = (ij[..., 0] >= 0) & (ij[..., 0] < spec.width) \
+        & (ij[..., 1] >= 0) & (ij[..., 1] < spec.height)
+    return jnp.where(inb, grid[i, j], False)
+
+
+def nearest_lane(lane_set: LaneSet, pos, heading, max_dist: float = 10.0,
+                 heading_gate: float = 1.3):
+    """Nearest lane id for a pose (GetNearestLaneIdUsingState,
+    semantic_map_manager.cc): smallest |d| among lanes whose local heading
+    is within the gate; -1 when none qualifies."""
+    L = lane_set.n_lanes
+
+    def one(i):
+        lane = lane_set.lane(i)
+        s, d = lane_mod.frenet_of_point(lane, pos)
+        _, tan, _ = lane_mod.lane_point(lane, s)
+        dth = lane_mod.normalize_angle(
+            heading - jnp.arctan2(tan[..., 1], tan[..., 0]))
+        ok = (jnp.abs(d) < max_dist) & (jnp.abs(dth) < heading_gate)
+        return jnp.where(ok, jnp.abs(d), jnp.inf)
+
+    dists = jax.vmap(one)(jnp.arange(L))                    # [L, ...]
+    best = jnp.argmin(dists, axis=0)
+    found = jnp.isfinite(jnp.min(dists, axis=0))
+    return jnp.where(found, best, -1).astype(jnp.int32)
+
+
+def associate_lanes(lane_set: LaneSet, states):
+    """[A] lane ids for all agents (vectorized nearest_lane)."""
+    return nearest_lane(lane_set, states[:, 0:2], states[:, 2])
+
+
+def openloop_prediction(lane_set: LaneSet, states, lane_ids, geom,
+                        p: fsim.SimParam, dt: float, n_steps: int):
+    """Openloop (non-interactive) forward prediction of all agents on their
+    lanes at their current velocities (openloop trajectory prediction,
+    semantic_map_manager.cc / OpenloopSimForward semantics)."""
+    from dftpav_tpu.urban.mpdm import _gather_lane, _rollout_openloop
+
+    lanes = _gather_lane(lane_set, jnp.maximum(lane_ids, 0))
+    return _rollout_openloop(lanes, states, geom, states[:, fsim.V], p, dt,
+                             n_steps)
+
+
+def predict_behaviors(lane_set: LaneSet, states, lane_ids, geom):
+    """Most-likely lateral behavior per agent via MOBIL probabilities
+    (the reference's GetPredictedBehavior path,
+    semantic_map_manager.cc:152-218)."""
+    probs = mobil.predict_all(lane_set, states, lane_ids, geom)
+    return jnp.argmax(probs, axis=-1).astype(jnp.int32), probs
