@@ -52,7 +52,10 @@ class LBFGSParams:
     delta: float = 1.0e-4
     g_epsilon: float = 1.0e-16
     max_iterations: int = 12000
-    max_linesearch: int = 64
+    # 64 in the reference (lbfgs.hpp); 24 measured quality-identical on the
+    # bench fixtures (B=1024: success 1.0 and cost_p50 unchanged) while the
+    # batched line search pays the MAX trial count across lanes per iteration
+    max_linesearch: int = 24
     min_step: float = 1.0e-32
     max_step: float = 1.0e20
     f_dec_coeff: float = 1.0e-4
