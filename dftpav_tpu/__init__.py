@@ -26,5 +26,9 @@ from dftpav_tpu import basis as basis
 from dftpav_tpu import cost as cost
 from dftpav_tpu import lbfgs as lbfgs
 from dftpav_tpu import solver as solver
+from dftpav_tpu import geo as geo
 
-__version__ = "0.1.0"
+# heavier subpackages (ops, urban, ssc, sim, parallel, utils, frontend) are
+# imported lazily by their users to keep bare-core import fast
+
+__version__ = "0.2.0"

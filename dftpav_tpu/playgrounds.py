@@ -28,6 +28,11 @@ class Playground:
     goal: tuple
     movers: list = field(default_factory=list)
     description: str = ""
+    # urban scenes (lane_net_norm.json equivalents): a LaneSet + LaneGraph
+    # and initial traffic placements [(lane_id, s, v), ...]
+    lane_set: object = None
+    lane_graph: object = None
+    agents: list = field(default_factory=list)
 
 
 def _rasterize(spec: dict) -> GridMap2D:
@@ -63,6 +68,45 @@ def _rasterize(spec: dict) -> GridMap2D:
     return GridMap2D(occ, origin=(ox, oy), resolution=res)
 
 
+def _build_lane_net(spec: dict):
+    """Lane net from a spec (the lane_net_norm.json equivalent).
+
+    Lane entries: either explicit "waypoints" [[x,y],...], a "straight"
+    {y, x0, x1}, or a "ring" {center, radius} (closed loop, sampled CCW).
+    "left"/"right"/"successors" wire the lateral/longitudinal graph.
+    """
+    from dftpav_tpu.urban import lane as lane_mod
+    from dftpav_tpu.urban.route import LaneGraph
+
+    lanes, lengths, succ = [], [], []
+    entries = spec["lane_net"]["lanes"]
+    P = int(spec["lane_net"].get("samples", 1024))
+    ds = float(spec["lane_net"].get("ds", 1.0))
+    for e in entries:
+        if "waypoints" in e:
+            wps = np.asarray(e["waypoints"], dtype=np.float64)
+        elif "straight" in e:
+            s = e["straight"]
+            n = 31
+            wps = np.stack([np.linspace(s["x0"], s["x1"], n),
+                            np.full(n, s["y"])], 1)
+        elif "ring" in e:
+            r = e["ring"]
+            th = np.linspace(0, 2 * np.pi, 181)
+            wps = np.stack([r["center"][0] + r["radius"] * np.cos(th),
+                            r["center"][1] + r["radius"] * np.sin(th)], 1)
+        else:
+            raise ValueError(f"lane entry needs waypoints/straight/ring: {e}")
+        lane = lane_mod.build_lane(wps, ds=ds, P=P)
+        lanes.append(lane)
+        lengths.append(float(lane.length))
+        succ.append(list(e.get("successors", [])))
+    left = [e.get("left", -1) for e in entries]
+    right = [e.get("right", -1) for e in entries]
+    lane_set = lane_mod.build_lane_set(lanes, left, right)
+    return lane_set, LaneGraph(successors=succ, lengths=lengths)
+
+
 def load(name_or_path: str) -> Playground:
     """Load a playground by name (from /playgrounds) or explicit path."""
     path = name_or_path
@@ -74,6 +118,10 @@ def load(name_or_path: str) -> Playground:
                             speed=m["speed"], phase=m.get("phase", 0.0),
                             ccw=m.get("ccw", True))
               for m in spec.get("movers", [])]
+    lane_set = lane_graph = None
+    if "lane_net" in spec:
+        lane_set, lane_graph = _build_lane_net(spec)
+    agents = [tuple(a) for a in spec.get("agents", [])]
     return Playground(
         name=spec.get("name", os.path.basename(path)),
         grid=_rasterize(spec),
@@ -81,6 +129,9 @@ def load(name_or_path: str) -> Playground:
         goal=tuple(spec["ego"]["goal"]),
         movers=movers,
         description=spec.get("description", ""),
+        lane_set=lane_set,
+        lane_graph=lane_graph,
+        agents=agents,
     )
 
 

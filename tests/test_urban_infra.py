@@ -16,6 +16,12 @@ def lane_at(y, length=200.0):
     return lane_mod.build_lane(wps, ds=1.0, P=256)
 
 
+def default_geom(A):
+    ones = jnp.ones(A)
+    return fsim.AgentGeom(length=4.88 * ones, width=1.9 * ones,
+                          d_cr=1.015 * ones, wheel_base=2.85 * ones)
+
+
 class TestRoutePlanner:
     def graph(self):
         # 0 -> 1 -> 2 -> 0 ring plus branch 1 -> 3
@@ -150,3 +156,34 @@ class TestUrbanDemo:
         collisions, v_mean = demo.main(["--steps", "30"])
         assert collisions == 0
         assert v_mean > 3.0
+
+
+class TestLaneNetPlaygrounds:
+    def test_highway_loads(self):
+        from dftpav_tpu import playgrounds
+        pg = playgrounds.load("highway_v1")
+        assert pg.lane_set.n_lanes == 3
+        assert len(pg.agents) == 5
+        assert float(pg.lane_set.lane(0).length) == pytest.approx(600.0, abs=2)
+
+    def test_ring_loads_and_mpdm_runs(self):
+        from dftpav_tpu import playgrounds
+        from dftpav_tpu.urban import mpdm, semantic_map
+
+        pg = playgrounds.load("ring_v1")
+        ls = pg.lane_set
+        states = [[pg.start[0], pg.start[1], pg.start[2], pg.start[3],
+                   0.0, 0.0]]
+        for (lid, s, v) in pg.agents:
+            pos, hd = lane_mod.state_of_frenet(
+                ls.lane(lid), jnp.asarray(float(s)), jnp.asarray(0.0))
+            states.append([float(pos[0]), float(pos[1]), float(hd), v,
+                           0.0, 0.0])
+        states = jnp.asarray(states)
+        geom = default_geom(states.shape[0])
+        lane_ids = semantic_map.associate_lanes(ls, states)
+        assert (np.asarray(lane_ids) >= 0).all()
+        res = mpdm.mpdm_plan(ls, states, jnp.maximum(lane_ids, 0), geom, 0,
+                             fsim.SimParam(),
+                             mpdm.MPDMConfig(desired_velocity=6.0))
+        assert bool(res.valid[int(res.behavior)])

@@ -1,0 +1,102 @@
+"""Tests for the auxiliary subsystems: metrics, checkpoint, serialization."""
+
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dftpav_tpu.utils import (
+    Metrics,
+    TicToc,
+    load_pytree,
+    load_trajectory,
+    save_pytree,
+    save_trajectory,
+    trajectory_from_dict,
+    trajectory_to_dict,
+)
+
+
+class TestMetrics:
+    def test_counters_and_series(self):
+        m = Metrics()
+        m.count("solves", 64)
+        m.count("solves", 64)
+        with m.timer("step"):
+            pass
+        m.record("step", 2.0)
+        s = m.summary()
+        assert s["solves"] == 128
+        assert s["step"]["n"] == 2
+        json.loads(m.dumps())  # valid JSON
+
+    def test_throughput(self):
+        m = Metrics()
+        m.throughput("solves", 1000, 2.0)
+        assert m.summary()["solves_per_s"] == pytest.approx(500.0)
+
+    def test_tictoc_monotonic(self):
+        t = TicToc()
+        a = t.toc()
+        b = t.toc()
+        assert b >= a >= 0.0
+
+
+class TestCheckpoint:
+    def test_roundtrip_namedtuple_pytree(self, tmp_path):
+        from dftpav_tpu.types import Dims, empty_obstacles
+
+        dims = Dims(S=1, N=4, K=4, Kdes=4, H=4, O=2, Po=4)
+        tree = empty_obstacles(dims)
+        tree["extra"] = jnp.arange(7.0)
+        path = str(tmp_path / "ckpt.npz")
+        save_pytree(path, tree, metadata={"step": 42})
+        loaded, meta = load_pytree(path, tree)
+        assert meta["step"] == 42
+        np.testing.assert_array_equal(np.asarray(loaded["extra"]),
+                                      np.arange(7.0))
+        assert loaded["obs_coef"].shape == tree["obs_coef"].shape
+
+    def test_roundtrip_solve_result_like(self, tmp_path):
+        tree = dict(x=np.random.default_rng(0).normal(size=(3, 5)),
+                    ok=np.array([True, False, True]))
+        path = str(tmp_path / "s.npz")
+        save_pytree(path, tree)
+        loaded, _ = load_pytree(path, tree)
+        np.testing.assert_array_equal(loaded["x"], tree["x"])
+        np.testing.assert_array_equal(loaded["ok"], tree["ok"])
+
+
+class TestSerialization:
+    def test_trajectory_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(0)
+        coeffs = rng.normal(size=(2, 4, 6, 2))
+        dT = np.array([0.9, 1.1])
+        singul = np.array([1, -1])
+        d = trajectory_to_dict(coeffs, dT, singul, start_time=3.25)
+        c2, dT2, sg2, t0 = trajectory_from_dict(d)
+        np.testing.assert_allclose(c2, coeffs)
+        np.testing.assert_allclose(dT2, dT)
+        assert sg2.tolist() == [1, -1]
+        assert t0 == 3.25
+
+        path = str(tmp_path / "traj.json")
+        save_trajectory(path, coeffs, dT, singul, 3.25)
+        c3, _, _, _ = load_trajectory(path)
+        np.testing.assert_allclose(c3, coeffs)
+        assert os.path.getsize(path) > 0
+
+    def test_solved_trajectory_evaluates_after_roundtrip(self, tmp_path):
+        """Solve -> serialize -> load -> evaluate states (end-to-end)."""
+        from dftpav_tpu import minco
+
+        coeffs = np.zeros((1, 3, 6, 2))
+        coeffs[0, :, 1, 0] = 1.0  # x = tau per piece
+        d = trajectory_to_dict(coeffs, [1.0], [1])
+        c2, dT2, sg2, _ = trajectory_from_dict(d)
+        st = minco.eval_segment_states(jnp.asarray(c2[0]),
+                                       jnp.asarray(dT2[0]), 1, 2.85,
+                                       jnp.asarray([0.5]))
+        assert float(st["vel"][0]) == pytest.approx(1.0, abs=1e-6)
