@@ -113,6 +113,15 @@ class OptConfig:
     # convergence checks. Reported costs are unscaled.
     cost_scale: float = 1.0e-3
 
+    # Corridor-penalty backend in the batch-minor engine: "xla" (fused
+    # elementwise chains), "pallas" (the fused forward+VJP kernel in
+    # ops/pallas_penalty.py), or "auto" (pallas on TPU, xla elsewhere).
+    # Measured on v5e at B=1024: pallas is 8% faster per cost+grad eval
+    # (3.63 vs 3.97 ms) but 8% slower end-to-end inside the L-BFGS while
+    # loop (custom-call boundaries block XLA's cross-eval scheduling), so
+    # the default stays "xla"; see PERF.md.
+    corridor_backend: str = "xla"
+
 
 @dataclasses.dataclass(frozen=True)
 class FrontendConfig:

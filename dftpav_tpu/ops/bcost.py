@@ -306,14 +306,25 @@ def total_cost_b(x: jnp.ndarray, scen: Scenario, w: Weights, dims: Dims,
     ego_R = _rot_from_vel_b(dsig, sgl, inv_vn)              # [S,N,K1,2,2,B]
 
     # --- static corridor penalty (traj_optimizer.cpp:592-622) ---
-    # bpt [S,N,K1,E,2,B] = sig + R @ le
-    bpt = sig[:, :, :, None] + _apply_R(ego_R, le)
-    # viol [S,N,K1,E,H,B]
-    rel_c = bpt[:, :, :, :, None, :, :] - scen.corr_p[:, :, :, None]
-    viol = jnp.sum(scen.corr_n[:, :, :, None] * rel_c, axis=-2)
-    pen = smoothed_l1(viol) * scen.corr_mask[:, :, :, None]
-    cost_obs = w.wei_obs * jnp.sum(
-        wq[:, :, :, None, None, :] * pen, axis=(0, 1, 2, 3, 4))
+    backend = getattr(cfg.opt, "corridor_backend", "xla")
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() == "tpu")
+    if use_pallas:
+        from dftpav_tpu.ops.pallas_penalty import corridor_cost_pallas
+
+        cost_obs = corridor_cost_pallas(
+            sig, dsig, sgl, wq, scen.corr_n, scen.corr_p, scen.corr_mask,
+            le_np, w.wei_obs,
+            interpret=jax.default_backend() != "tpu")
+    else:
+        # bpt [S,N,K1,E,2,B] = sig + R @ le
+        bpt = sig[:, :, :, None] + _apply_R(ego_R, le)
+        # viol [S,N,K1,E,H,B]
+        rel_c = bpt[:, :, :, :, None, :, :] - scen.corr_p[:, :, :, None]
+        viol = jnp.sum(scen.corr_n[:, :, :, None] * rel_c, axis=-2)
+        pen = smoothed_l1(viol) * scen.corr_mask[:, :, :, None]
+        cost_obs = w.wei_obs * jnp.sum(
+            wq[:, :, :, None, None, :] * pen, axis=(0, 1, 2, 3, 4))
 
     # --- feasibility (traj_optimizer.cpp:642-705) ---
     z_h1 = jnp.sum(ddsig * dsig, axis=-2)
