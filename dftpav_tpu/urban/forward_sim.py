@@ -22,9 +22,9 @@ import jax.numpy as jnp
 
 from dftpav_tpu.urban import lane as lane_mod
 from dftpav_tpu.urban import steer as steer_mod
-from dftpav_tpu.urban.idm import IDMParam, ctx_idm_velocity, idm_velocity
+from dftpav_tpu.urban.idm import IDMParam, idm_velocity
 from dftpav_tpu.urban.lane import Lane, normalize_angle
-from dftpav_tpu.urban.steer import ACC, ST, STATE_DIM, SteerLimits, TH, V, X, Y
+from dftpav_tpu.urban.steer import ST, STATE_DIM, SteerLimits, TH, V
 
 LAT_RANGE = 2.2  # lateral gate for "on this lane" (behavior_planner.cc:473)
 

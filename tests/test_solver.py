@@ -142,3 +142,31 @@ def test_float32_solve():
                            max_iterations=400)
     assert res.coeffs.dtype == jnp.float32
     assert bool(res.success), (int(res.status), float(res.cost))
+
+
+def test_warm_start_replan_reduces_iterations():
+    """Receding-horizon warm starts must collapse iteration counts
+    (the batched equivalent of traj_server_ros.cpp:406-501 seeding)."""
+    from dftpav_tpu import replan
+
+    cfg = PlannerConfig()
+    dims = Dims(S=1, N=8, K=16, Kdes=32, H=4, O=2, Po=8)
+    B = 16
+    scens = scenarios.batch_scenarios(dims, B, seed=7, dtype=np.float32,
+                                      n_obstacles=2)
+    w = weights_from_config(cfg.opt, dtype=jnp.float32)
+    batch = jax.tree.map(jnp.asarray, scens)
+    cold = solver.make_solver(cfg, dims, max_iterations=150, jit=False)
+    r0 = cold(batch, w)
+    assert np.asarray(r0.success).all()
+
+    rp = replan.make_replanner(cfg, dims, dt_shift=0.1, max_iterations=150,
+                               jit=False)
+    shifted, r1 = rp(batch, r0, w)
+    assert np.asarray(r1.success).all()
+    it0 = np.median(np.asarray(r0.n_iters))
+    it1 = np.median(np.asarray(r1.n_iters))
+    assert it1 < 0.6 * it0, (it0, it1)
+    # shifted start state sits on the previous trajectory (continuity)
+    p_prev = np.asarray(r0.coeffs[:, 0, 0, 0])  # not a strict check here
+    assert shifted.ini_state.shape == batch.ini_state.shape
