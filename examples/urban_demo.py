@@ -58,6 +58,7 @@ def spawn_agents(rng, n_agents, n_lanes, lane_width=3.5):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=80)
+    ap.add_argument("--behavior", choices=["mpdm", "eudm"], default="mpdm")
     ap.add_argument("--agents", type=int, default=5)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--plot", type=str, default="")
@@ -81,12 +82,29 @@ def main(argv=None):
     T_fwd = cfg_mpdm.n_steps           # forward sim steps (10 x 0.4 s)
     times = np.linspace(0.0, cfg_mpdm.sim_horizon, T_fwd + 1)
 
+    use_eudm = args.behavior == "eudm"
+    if use_eudm:
+        from dftpav_tpu.urban import eudm as eudm_mod
+        cfg_eudm = eudm_mod.EUDMConfig(desired_velocity=8.0, step=0.4,
+                                       tree_height=5, layer_time=0.8)
+
     @jax.jit
     def plan_tick(states):
         lane_ids = semantic_map.associate_lanes(lane_set, states)
         lane_ids = jnp.maximum(lane_ids, 0)
-        dec = mpdm.mpdm_plan(lane_set, states, lane_ids, geom, 0, p,
-                             cfg_mpdm)
+        if use_eudm:
+            eres = eudm_mod.eudm_plan(lane_set, states, lane_ids, geom, 0,
+                                      p, cfg_eudm)
+            lanes3 = mpdm.behavior_lane_ids(lane_set, lane_ids[0])
+            dec = mpdm.MPDMResult(
+                behavior=eres.behavior, desired_vel=eres.desired_vel,
+                scores=eres.scores[:3], valid=eres.valid[:3],
+                trajs=eres.trajs[eres.best_policy][None].repeat(3, 0),
+                ref_lane_id=lanes3[eres.behavior])
+            dec = dec._replace(behavior=jnp.asarray(0, jnp.int32))
+        else:
+            dec = mpdm.mpdm_plan(lane_set, states, lane_ids, geom, 0, p,
+                                 cfg_mpdm)
         ego_traj = dec.trajs[dec.behavior]                # [T+1, A, 6]
         ref_lane = mpdm._gather_lane(lane_set, jnp.maximum(dec.ref_lane_id,
                                                            0))

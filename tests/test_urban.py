@@ -368,3 +368,54 @@ class TestMOBIL:
                                        self.geom, 0)
         assert not bool(res.lcl_safe)
         np.testing.assert_allclose(np.asarray(res.prob), [1.0, 0.0, 0.0])
+
+
+# ---------------------------------------------------------------------------
+# BehaviorServer
+# ---------------------------------------------------------------------------
+
+class TestBehaviorServer:
+    def scene(self):
+        ls = two_lane_set()
+        states = jnp.array([[0.0, 0.0, 0.0, 5.0, 0.0, 0.0],
+                            [25.0, 0.0, 0.0, 1.0, 0.0, 0.0]])
+        return ls, states, default_geom(2)
+
+    def test_mpdm_tick_changes_lane(self):
+        from dftpav_tpu.urban.behavior_server import BehaviorServer
+        ls, states, geom = self.scene()
+        srv = BehaviorServer(ls, geom, ego_idx=0, planner="mpdm",
+                             cfg=mpdm.MPDMConfig(desired_velocity=8.0))
+        dec = srv.tick(states)
+        assert dec.behavior == mpdm.LCL
+        assert dec.ref_lane_id == 1
+        assert dec.valid
+
+    def test_level_gate_forces_lane_keep(self):
+        from dftpav_tpu.urban.behavior_server import BehaviorServer
+        ls, states, geom = self.scene()
+        srv = BehaviorServer(ls, geom, ego_idx=0, autonomous_level=2)
+        dec = srv.tick(states)
+        assert dec.behavior == mpdm.LK
+
+    def test_hmi_lock_overrides_when_valid(self):
+        from dftpav_tpu.urban.behavior_server import BehaviorServer
+        ls, states, geom = self.scene()
+        srv = BehaviorServer(ls, geom, ego_idx=0,
+                             cfg=mpdm.MPDMConfig(desired_velocity=8.0))
+        srv.lock_to_hmi(mpdm.LK)
+        dec = srv.tick(states)
+        assert dec.behavior == mpdm.LK
+        srv.lock_to_hmi(mpdm.LCR)  # invalid (no right lane) -> planner wins
+        dec = srv.tick(states)
+        assert dec.behavior == mpdm.LCL
+
+    def test_eudm_tick(self):
+        from dftpav_tpu.urban import eudm
+        from dftpav_tpu.urban.behavior_server import BehaviorServer
+        ls, states, geom = self.scene()
+        srv = BehaviorServer(ls, geom, ego_idx=0, planner="eudm",
+                             cfg=eudm.EUDMConfig(desired_velocity=8.0))
+        dec = srv.tick(states)
+        assert dec.behavior == mpdm.LCL
+        assert dec.valid
