@@ -113,6 +113,22 @@ class OptConfig:
     # convergence checks. Reported costs are unscaled.
     cost_scale: float = 1.0e-3
 
+    # Reproduce the reference's segment-time-offset quirk: costFunctionCallback
+    # builds trajtimes = [0, T0, T1, ...] (traj_optimizer.cpp:230-234), i.e.
+    # segment i >= 2 is offset by T_{i-1} alone instead of sum(T[:i]). Our
+    # default uses the true cumulative sum (correct absolute time for the
+    # dynamic-obstacle penalty); enable this only for golden parity runs
+    # against the compiled C++ at S >= 3.
+    ref_trajtime_compat: bool = False
+
+    # Additionally reproduce the reference's cross-segment time-GRADIENT
+    # misattribution (traj_optimizer.cpp:1674-1676 adds earlier-segment
+    # duration sensitivity to the current segment's gdT). With this on, the
+    # engine matches the compiled C++ iterate path bit-exactly for S >= 2
+    # with obstacles; see cost.ref_compat_value_and_grad. Golden-parity use
+    # only — the default gradient is the true gradient of the objective.
+    ref_gradient_compat: bool = False
+
     # Corridor-penalty backend in the batch-minor engine: "xla" (fused
     # elementwise chains), "pallas" (the fused forward+VJP kernel in
     # ops/pallas_penalty.py), or "auto" (pallas on TPU, xla elsewhere).

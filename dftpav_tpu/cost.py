@@ -319,9 +319,12 @@ def segment_penalties(b, dT, singul, trajtime, scen_seg, w: Weights,
 # ---------------------------------------------------------------------------
 
 def total_cost(x: jnp.ndarray, scen: Scenario, w: Weights, dims: Dims,
-               cfg) -> tuple[jnp.ndarray, dict]:
+               cfg, trajtime_override=None) -> tuple[jnp.ndarray, dict]:
     """Scalar objective for one scenario; `jax.value_and_grad` of this is the
-    solver oracle. Mirrors costFunctionCallback (traj_optimizer.cpp:206-350)."""
+    solver oracle. Mirrors costFunctionCallback (traj_optimizer.cpp:206-350).
+
+    trajtime_override ([S], optional) replaces the per-segment absolute-time
+    offsets; used by ref_compat_value_and_grad to split the time chain."""
     scen = jax.tree.map(jnp.asarray, scen)
     dtype = x.dtype
     grid = sample_grid(dims.N, dims.K, dims.Kdes)
@@ -340,7 +343,13 @@ def total_cost(x: jnp.ndarray, scen: Scenario, w: Weights, dims: Dims,
     smoo = jnp.sum(segw * jax.vmap(minco.jerk_cost)(bs, dT))
     time_cost = jnp.sum(segw * w.wei_time * T)
 
-    trajtime = jnp.concatenate([jnp.zeros((1,), dtype), jnp.cumsum(T)[:-1]])
+    if trajtime_override is not None:
+        trajtime = trajtime_override
+    elif getattr(cfg.opt, "ref_trajtime_compat", False):
+        # reference quirk: segment i offset by T_{i-1} alone (see OptConfig)
+        trajtime = jnp.concatenate([jnp.zeros((1,), dtype), T[:-1]])
+    else:
+        trajtime = jnp.concatenate([jnp.zeros((1,), dtype), jnp.cumsum(T)[:-1]])
     obstacles = (scen.obs_coef, scen.obs_dt, scen.obs_rel_t0, scen.obs_mask)
 
     pens = jax.vmap(
@@ -356,3 +365,49 @@ def total_cost(x: jnp.ndarray, scen: Scenario, w: Weights, dims: Dims,
     aux = dict(smoo=smoo, time=time_cost, obs=cost_obs, dyn=cost_dyn,
                feas=cost_feas, T=T, coeffs=bs)
     return total, aux
+
+
+def ref_compat_value_and_grad(scen: Scenario, w: Weights, dims: Dims, cfg,
+                              scale=1.0):
+    """(f, g) oracle that reproduces the compiled reference BIT-EXACTLY for
+    S >= 2 with dynamic obstacles — including its gradient bug.
+
+    The reference's hand-written adjoint misattributes the cross-segment
+    absolute-time sensitivity: for a constraint point in segment i, the chain
+    through the earlier segments' durations (pt_time depends on trajtime_i)
+    is added to the CURRENT segment's gdT, once per earlier segment, scaled
+    by the current piece count (traj_optimizer.cpp:1674-1676; after the
+    1/piece_num in VirtualTGradCost this is exactly i * dF/dtrajtime_i added
+    to dF/dT_i). Its forward cost meanwhile uses trajtime_i = T_{i-1}
+    (traj_optimizer.cpp:230-234). The returned gradient is therefore NOT the
+    gradient of the returned value — no forward-cost change can reproduce the
+    C++ iterate path; this oracle splits the chain instead:
+
+      f        = F(x, trajtime = [0, T_0, ..., T_{S-2}])
+      g        = dF/dx holding trajtime fixed
+      g_vt[i] += i * (dF/dtrajtime_i) * dT_i/dvt_i        (the reference bug)
+
+    Verified bit-exact against the compiled C++ in
+    tests/test_golden_cpp.py::test_golden_three_segments_trajtime_quirk.
+    The default engine (total_cost + jax.grad) keeps the mathematically
+    correct cumulative-sum attribution instead.
+    """
+    n_in = dims.S * (dims.N - 1) * 2
+
+    def split(x, tt):
+        f, _ = total_cost(x, scen, w, dims, cfg, trajtime_override=tt)
+        return scale * f
+
+    def fun(x):
+        u = unpack(x, dims)
+        T = virtual_to_real(u.vt, w.mini_t)
+        tt = jnp.concatenate([jnp.zeros((1,), x.dtype), T[:-1]])
+        f, (gx, gh) = jax.value_and_grad(split, argnums=(0, 1))(x, tt)
+        # dT_i/dvt_i (virtual_to_real is elementwise)
+        dT_dvt = jax.grad(
+            lambda v: jnp.sum(virtual_to_real(v, w.mini_t)))(u.vt)
+        idx = jnp.arange(dims.S, dtype=x.dtype)
+        gx = gx.at[n_in:n_in + dims.S].add(idx * gh * dT_dvt)
+        return f, gx
+
+    return fun

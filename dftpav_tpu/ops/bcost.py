@@ -261,8 +261,11 @@ def total_cost_b(x: jnp.ndarray, scen: Scenario, w: Weights, dims: Dims,
     smoo = jnp.sum(segw * jerk_cost_b(bs, dT), axis=0)      # [B]
     time_cost = jnp.sum(segw * w.wei_time * T, axis=0)
 
-    trajtime = jnp.concatenate(
-        [jnp.zeros((1, B), dtype), jnp.cumsum(T, axis=0)[:-1]])  # [S,B]
+    if getattr(cfg.opt, "ref_trajtime_compat", False):
+        trajtime = jnp.concatenate([jnp.zeros((1, B), dtype), T[:-1]])
+    else:
+        trajtime = jnp.concatenate(
+            [jnp.zeros((1, B), dtype), jnp.cumsum(T, axis=0)[:-1]])  # [S,B]
 
     beta = [jnp.asarray(bb, dtype) for bb in grid.beta[:3]]
     omg = jnp.asarray(grid.omg, dtype)

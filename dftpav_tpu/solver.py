@@ -58,8 +58,11 @@ def _solve_one(scen: Scenario, w: Weights, dims: Dims, cfg: PlannerConfig,
     x0 = cost_mod.initial_guess(scen, w, dims)
 
     scale = cfg.opt.cost_scale
-    fun = jax.value_and_grad(
-        lambda x: scale * cost_mod.total_cost(x, scen, w, dims, cfg)[0])
+    if getattr(cfg.opt, "ref_gradient_compat", False):
+        fun = cost_mod.ref_compat_value_and_grad(scen, w, dims, cfg, scale)
+    else:
+        fun = jax.value_and_grad(
+            lambda x: scale * cost_mod.total_cost(x, scen, w, dims, cfg)[0])
     res = lbfgs.minimize(fun, x0, cfg.opt.lbfgs, max_iterations=max_iterations)
 
     u = cost_mod.unpack(res.x, dims)
