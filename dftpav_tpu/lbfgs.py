@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from dftpav_tpu.config import LBFGSParams
+from dftpav_tpu.utils.vma import vary_like
 
 
 class Status:
@@ -124,11 +125,16 @@ def _line_search(fun, xp, gp, d, f0, stp0, p: LBFGSParams):
         stp = jnp.where(over, jnp.asarray(p.max_step, dtype), stp)
         return _LSCarry(x, f, g, stp, mu, nu, brackt, touched, count, code)
 
+    # constant-seeded carries must carry f0's varying axes under shard_map
+    stp_i, mu_i, nu_i, brackt_i, touched_i, count_i = vary_like(
+        f0, jnp.asarray(stp0, dtype), jnp.zeros((), dtype),
+        jnp.asarray(p.max_step, dtype), jnp.zeros((), bool),
+        jnp.zeros((), bool), jnp.zeros((), jnp.int32))
     init = _LSCarry(
-        x=xp, f=f0, g=gp, stp=jnp.asarray(stp0, dtype),
-        mu=jnp.zeros((), dtype), nu=jnp.asarray(p.max_step, dtype),
-        brackt=jnp.zeros((), bool), touched=jnp.zeros((), bool),
-        count=jnp.zeros((), jnp.int32),
+        x=xp, f=f0, g=gp, stp=stp_i,
+        mu=mu_i, nu=nu_i,
+        brackt=brackt_i, touched=touched_i,
+        count=count_i,
         code=jnp.where(dginit > 0.0, Status.ERR_INCREASEGRADIENT, 0),
     )
     out = jax.lax.while_loop(cond, body, init)
@@ -194,13 +200,17 @@ def minimize(fun: Callable, x0: jnp.ndarray, p: LBFGSParams,
     already = gnorm / jnp.maximum(1.0, xnorm) < p.g_epsilon
 
     pf0 = jnp.zeros((max(p.past, 1),), dtype).at[0].set(f0)
+    lm_s0, lm_y0, lm_ys0, bound0, k0, ne0 = vary_like(
+        f0, jnp.zeros((m, D), dtype), jnp.zeros((m, D), dtype),
+        jnp.ones((m,), dtype), jnp.zeros((), jnp.int32),
+        jnp.ones((), jnp.int32), jnp.ones((), jnp.int32))
     init = _Carry(
         x=x0, f=f0, g=g0, d=d0,
         step=1.0 / jnp.maximum(jnp.linalg.norm(d0), 1e-300),
-        lm_s=jnp.zeros((m, D), dtype), lm_y=jnp.zeros((m, D), dtype),
-        lm_ys=jnp.ones((m,), dtype), pf=pf0,
-        bound=jnp.zeros((), jnp.int32),
-        k=jnp.ones((), jnp.int32), n_evals=jnp.ones((), jnp.int32),
+        lm_s=lm_s0, lm_y=lm_y0,
+        lm_ys=lm_ys0, pf=pf0,
+        bound=bound0,
+        k=k0, n_evals=ne0,
         status=jnp.where(already, Status.CONVERGENCE, Status.RUNNING),
     )
 
@@ -263,7 +273,8 @@ def minimize(fun: Callable, x0: jnp.ndarray, p: LBFGSParams,
                           jnp.maximum(yy, 1e-300))
         d = jnp.where(do_update, d_new, -g)
 
-        return _Carry(x=x, f=f, g=g, d=d, step=jnp.ones((), dtype),
+        return _Carry(x=x, f=f, g=g, d=d,
+                      step=vary_like(f, jnp.ones((), dtype)),
                       lm_s=lm_s, lm_y=lm_y, lm_ys=lm_ys, pf=pf,
                       bound=bound, k=k, n_evals=n_evals, status=status)
 

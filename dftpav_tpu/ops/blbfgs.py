@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from dftpav_tpu.config import LBFGSParams
 from dftpav_tpu.lbfgs import Result, Status
+from dftpav_tpu.utils.vma import vary_like
 
 
 def _dot(a, b):
@@ -98,12 +99,18 @@ def _line_search(fun, xp, gp, d, f0, stp0, p: LBFGSParams, active0):
     code0 = jnp.where(active0,
                       jnp.where(dginit > 0.0, Status.ERR_INCREASEGRADIENT, 0),
                       1)
+    # constant-seeded carries must carry f0's varying axes under shard_map
+    stp_i, mu_i, nu_i, brackt_i, touched_i, count_i = vary_like(
+        f0, jnp.broadcast_to(jnp.asarray(stp0, dtype), (B,)),
+        jnp.zeros((B,), dtype), jnp.full((B,), p.max_step, dtype),
+        jnp.zeros((B,), bool), jnp.zeros((B,), bool),
+        jnp.zeros((B,), jnp.int32))
     init = _LSCarry(
-        x=xp, f=f0, g=gp, stp=jnp.broadcast_to(jnp.asarray(stp0, dtype), (B,)),
-        mu=jnp.zeros((B,), dtype),
-        nu=jnp.full((B,), p.max_step, dtype),
-        brackt=jnp.zeros((B,), bool), touched=jnp.zeros((B,), bool),
-        count=jnp.zeros((B,), jnp.int32),
+        x=xp, f=f0, g=gp, stp=stp_i,
+        mu=mu_i,
+        nu=nu_i,
+        brackt=brackt_i, touched=touched_i,
+        count=count_i,
         code=code0.astype(jnp.int32),
     )
     out = jax.lax.while_loop(cond, body, init)
@@ -159,13 +166,17 @@ def minimize_b(fun: Callable, x0: jnp.ndarray, p: LBFGSParams,
     already = gnorm / jnp.maximum(1.0, xnorm) < p.g_epsilon
 
     pf0 = jnp.zeros((max(p.past, 1), B), dtype).at[0].set(f0)
+    lm_s0, lm_y0, lm_ys0, bound0, k0, ne0 = vary_like(
+        f0, jnp.zeros((m, D, B), dtype), jnp.zeros((m, D, B), dtype),
+        jnp.ones((m, B), dtype), jnp.zeros((B,), jnp.int32),
+        jnp.ones((B,), jnp.int32), jnp.ones((B,), jnp.int32))
     init = _Carry(
         x=x0, f=f0, g=g0, d=d0,
         step=1.0 / jnp.maximum(jnp.sqrt(_dot(d0, d0)), 1e-300),
-        lm_s=jnp.zeros((m, D, B), dtype), lm_y=jnp.zeros((m, D, B), dtype),
-        lm_ys=jnp.ones((m, B), dtype), pf=pf0,
-        bound=jnp.zeros((B,), jnp.int32),
-        k=jnp.ones((B,), jnp.int32), n_evals=jnp.ones((B,), jnp.int32),
+        lm_s=lm_s0, lm_y=lm_y0,
+        lm_ys=lm_ys0, pf=pf0,
+        bound=bound0,
+        k=k0, n_evals=ne0,
         status=jnp.where(already, Status.CONVERGENCE,
                          Status.RUNNING).astype(jnp.int32),
     )
@@ -228,7 +239,8 @@ def minimize_b(fun: Callable, x0: jnp.ndarray, p: LBFGSParams,
         d = jnp.where(do_update, d_new, -g)
         d = jnp.where(run, d, c.d)
 
-        return _Carry(x=x, f=f, g=g, d=d, step=jnp.ones((B,), dtype),
+        return _Carry(x=x, f=f, g=g, d=d,
+                      step=vary_like(f, jnp.ones((B,), dtype)),
                       lm_s=lm_s, lm_y=lm_y, lm_ys=lm_ys, pf=pf,
                       bound=bound, k=k, n_evals=n_evals, status=status)
 

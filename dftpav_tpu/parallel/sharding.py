@@ -60,9 +60,5 @@ def make_sharded_solver(mesh: Mesh, cfg: PlannerConfig, dims: Dims,
             step, mesh=mesh,
             in_specs=(P(axis), P()),
             out_specs=(P(axis), P()),
-            # the L-BFGS while_loops initialize carries from replicated
-            # constants, which trips the varying-manual-axes type check;
-            # skip it (correctness is covered by tests on the virtual mesh)
-            check_vma=False,
         ))
     return fn

@@ -1,0 +1,144 @@
+"""Whole-solve fused kernel (ops/kcost + ops/pallas_solve) parity tests.
+
+Three layers, each pinning the next against the already-proven engine:
+  1. kcost.eval_cost / eval_fg  ==  ops.bcost objective (the engine whose
+     iterate path is golden-tested against the compiled C++ reference).
+  2. pallas_solve._solve_rounds (the asynchronous-lane round loop, run as
+     plain XLA) follows the EXACT iterate path of ops.blbfgs.minimize_b when
+     both consume the same kcost oracle: identical per-lane iteration counts,
+     eval counts, statuses, and iterates.
+  3. solve_batch_fused (the Pallas kernel in interpret mode) end-to-end vs
+     solver.solve_batch_bminor: same success verdicts, matching costs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dftpav_tpu import cost as cost_mod
+from dftpav_tpu import scenarios, solver
+from dftpav_tpu.config import PlannerConfig
+from dftpav_tpu.ops import bcost, blbfgs, kcost
+from dftpav_tpu.ops.pallas_solve import _solve_rounds, solve_batch_fused
+from dftpav_tpu.types import Dims, weights_from_config
+
+DIMS = Dims(S=1, N=8, K=16, Kdes=32, H=4, O=2, Po=8)
+
+
+def _setup(B=8, seed=3, dtype=jnp.float64):
+    cfg = PlannerConfig()
+    w = weights_from_config(cfg.opt, dtype)
+    batch = scenarios.batch_scenarios(DIMS, B, seed=seed, n_obstacles=2)
+    batch = jax.tree.map(lambda a: jnp.asarray(a), batch)
+    clamped = jax.vmap(lambda s: solver.clamp_boundary_states(s, w))(batch)
+    x0 = jax.vmap(lambda s: cost_mod.initial_guess(s, w, DIMS))(clamped)
+    xT = x0.T.astype(dtype)
+    xp = jnp.zeros((kcost.DP, B), dtype).at[: xT.shape[0]].set(xT)
+    sw = kcost.StaticW.build(w, cfg)
+    sc = kcost.prep_scenario(clamped, DIMS, dtype)
+    kc = kcost.make_consts(DIMS, dtype)
+    return cfg, w, batch, clamped, xT, xp, sw, sc, kc
+
+
+def test_kcost_matches_bcost():
+    cfg, w, _batch, clamped, xT, xp, sw, sc, kc = _setup()
+    bm = bcost.to_bminor(clamped)
+    scale = cfg.opt.cost_scale
+    with jax.default_matmul_precision("float32"):
+        f_ref, _ = bcost.total_cost_b(xT, bm, w, DIMS, cfg)
+        f_ref = scale * f_ref
+        g_ref = jax.grad(lambda x: jnp.sum(
+            scale * bcost.total_cost_b(x, bm, w, DIMS, cfg)[0]))(xT)
+    f_k = kcost.eval_cost(xp, sc, kc, sw, DIMS)
+    f_k2, g_k = kcost.eval_fg(xp, sc, kc, sw, DIMS)
+    np.testing.assert_allclose(f_k, f_ref, rtol=1e-11)
+    np.testing.assert_allclose(f_k2, f_ref, rtol=1e-11)
+    np.testing.assert_allclose(g_k[: xT.shape[0]], g_ref,
+                               rtol=1e-9, atol=1e-9)
+    # padded decision rows must carry exactly zero gradient
+    assert not np.any(np.asarray(g_k[xT.shape[0]:]))
+
+
+def test_round_loop_matches_blbfgs_iterate_path():
+    """The async-lane round loop and the (iteration x line-search) loop must
+    visit the same per-lane iterates when fed the same oracle.
+
+    Bit-near parity is only checkable over a short path: the two programs
+    fuse differently under XLA, so reductions differ in the last ulp and
+    ~100 iterations of a nonconvex solve amplify that into different (equally
+    valid) stopping points — the same reason PARITY.md checks the compiled
+    C++ with 12-iteration path parity. 12 identical iterations (statuses,
+    iteration counts, per-lane eval counts, iterates to 1e-10) pin the
+    decision logic; convergence equivalence is asserted separately."""
+    cfg, _w, _b, _c, _xT, xp, sw, sc, kc = _setup(B=8)
+    p = cfg.opt.lbfgs
+
+    def fg(x):
+        return kcost.eval_fg(x, sc, kc, sw, DIMS)
+
+    ref = blbfgs.minimize_b(fg, xp, p, max_iterations=12)
+    out = _solve_rounds(xp, sc, kc, sw, DIMS, p, 12)
+
+    np.testing.assert_array_equal(np.asarray(out.status),
+                                  np.asarray(ref.status))
+    np.testing.assert_array_equal(np.asarray(out.k), np.asarray(ref.n_iters))
+    np.testing.assert_array_equal(np.asarray(out.n_evals),
+                                  np.asarray(ref.n_evals))
+    np.testing.assert_allclose(np.asarray(out.fp), np.asarray(ref.f),
+                               rtol=1e-10, atol=0)
+    np.testing.assert_allclose(np.asarray(out.xp), np.asarray(ref.x),
+                               rtol=1e-9, atol=1e-10)
+
+
+def test_round_loop_converges_like_blbfgs():
+    """Full-convergence equivalence: same stopping statuses, comparable
+    minima (past-delta stopping halts in a wide basin, so costs match to
+    percent level, not ulps — cf. the C++ golden-parity protocol)."""
+    cfg, _w, _b, _c, _xT, xp, sw, sc, kc = _setup(B=8)
+    p = cfg.opt.lbfgs
+
+    def fg(x):
+        return kcost.eval_fg(x, sc, kc, sw, DIMS)
+
+    ref = blbfgs.minimize_b(fg, xp, p, max_iterations=300)
+    out = _solve_rounds(xp, sc, kc, sw, DIMS, p, 300)
+    np.testing.assert_array_equal(np.asarray(out.status),
+                                  np.asarray(ref.status))
+    np.testing.assert_allclose(np.asarray(out.fp), np.asarray(ref.f),
+                               rtol=0.08)
+
+
+def test_fused_solver_end_to_end_interpret():
+    cfg, w, batch, _c, _xT, _xp, _sw, _sc, _kc = _setup(B=8)
+    max_iter = 40
+    res_ref = solver.solve_batch_bminor(batch, w, DIMS, cfg,
+                                        max_iterations=max_iter)
+    res = solve_batch_fused(batch, w, DIMS, cfg, max_iterations=max_iter,
+                            tb=8, interpret=True)
+    assert res.coeffs.shape == res_ref.coeffs.shape
+    np.testing.assert_array_equal(np.asarray(res.success),
+                                  np.asarray(res_ref.success))
+    # bcost and kcost evaluate the same objective through different float
+    # paths, so iterates drift; costs must land in the same basin
+    np.testing.assert_allclose(np.asarray(res.cost), np.asarray(res_ref.cost),
+                               rtol=0.08)
+    np.testing.assert_allclose(np.asarray(res.dT), np.asarray(res_ref.dT),
+                               rtol=0.1)
+
+
+def test_fused_solver_no_obstacles():
+    """O=0 class (corridor+feasibility only) also supported."""
+    dims = Dims(S=1, N=8, K=16, Kdes=32, H=4, O=0, Po=8)
+    cfg = PlannerConfig()
+    w = weights_from_config(cfg.opt, jnp.float64)
+    batch = scenarios.batch_scenarios(dims, 4, seed=11, n_obstacles=0)
+    batch = jax.tree.map(lambda a: jnp.asarray(a), batch)
+    res_ref = solver.solve_batch_bminor(batch, w, dims, cfg,
+                                        max_iterations=40)
+    res = solve_batch_fused(batch, w, dims, cfg, max_iterations=40,
+                            tb=4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(res.success),
+                                  np.asarray(res_ref.success))
+    np.testing.assert_allclose(np.asarray(res.cost), np.asarray(res_ref.cost),
+                               rtol=0.08)
