@@ -23,6 +23,26 @@ import numpy as np  # noqa: E402
 BASELINE_SOLVES_PER_S = 100.0
 
 
+def _frontend_batch_cached(dims, B, seed):
+    """Front-end-sourced scenarios (real kino-A*/corridor geometry) with an
+    npz cache — generation is ~3 min host-side at B=1024."""
+    from dftpav_tpu import scenarios
+    from dftpav_tpu.types import Scenario
+
+    key = f"frontend_b{B}_s{seed}_S{dims.S}N{dims.N}K{dims.K}" \
+          f"{dims.Kdes}O{dims.O}"
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".bench_cache", key + ".npz")
+    if os.path.exists(path):
+        with np.load(path) as z:
+            return Scenario(**{k: z[k] for k in z.files})
+    scens = scenarios.frontend_batch(dims, B, seed=seed, dtype=np.float32,
+                                     n_obstacles=2)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez(path, **scens._asdict())
+    return scens
+
+
 def main():
     from dftpav_tpu import scenarios, solver
     from dftpav_tpu.config import PlannerConfig
@@ -32,9 +52,20 @@ def main():
     dims = Dims(S=1, N=8, K=16, Kdes=32, H=4, O=2, Po=8)
     B = int(os.environ.get("BENCH_BATCH", "1024"))
     max_iter = int(os.environ.get("BENCH_MAX_ITER", "150"))
+    # --source frontend: headline batch comes from the real front end
+    # (kino A* + corridor growth over randomized lots); default "both"
+    # benches the synthetic headline AND the frontend distribution with the
+    # same compiled solver.
+    import sys as _sys
+    source = os.environ.get("BENCH_SOURCE", "both")
+    if "--source" in _sys.argv:
+        source = _sys.argv[_sys.argv.index("--source") + 1]
 
-    scens = scenarios.batch_scenarios(dims, B, seed=7, dtype=np.float32,
-                                      n_obstacles=2)
+    if source == "frontend":
+        scens = _frontend_batch_cached(dims, B, seed=7)
+    else:
+        scens = scenarios.batch_scenarios(dims, B, seed=7, dtype=np.float32,
+                                          n_obstacles=2)
     w = weights_from_config(cfg.opt, dtype=jnp.float32)
     solve = solver.make_solver(cfg, dims, max_iterations=max_iter)
     batch = jax.tree.map(jnp.asarray, scens)
@@ -70,6 +101,25 @@ def main():
     warm_wall = time.time() - t0
     succ_w = np.asarray(r2.success.astype(jnp.int32))
 
+    # frontend-sourced distribution with the same compiled solver (source
+    # "both"; skipped when the headline itself is frontend-sourced)
+    frontend_fields = {}
+    if source == "both":
+        fb = jax.tree.map(jnp.asarray, _frontend_batch_cached(dims, B, seed=7))
+        res_f = solve(fb, w)
+        _ = np.asarray(res_f.cost)
+        t1 = time.time()
+        res_f = solve(fb, w)
+        cost_f = np.asarray(res_f.cost)
+        wall_f = time.time() - t1
+        frontend_fields = {
+            "frontend_solves_per_s": round(B / wall_f, 1),
+            "frontend_success_rate": round(
+                float(np.asarray(res_f.success.astype(jnp.int32)).mean()), 4),
+            "frontend_cost_p50": round(float(np.nanmedian(cost_f)), 1),
+            "frontend_iters_p50": int(np.median(np.asarray(res_f.n_iters))),
+        }
+
     print(json.dumps({
         "metric": "traj_optimizations_per_s_per_chip",
         "value": round(solves_per_s, 1),
@@ -84,6 +134,8 @@ def main():
         "warm_success_rate": round(float(succ_w.mean()), 4),
         "warm_cost_p50": round(float(np.nanmedian(cost_w)), 1),
         "compile_s": round(compile_s, 1),
+        "source": source,
+        **frontend_fields,
         "device": str(jax.devices()[0]),
     }))
 

@@ -68,10 +68,14 @@ class StaticW:
     e_hat: tuple       # unit edge vectors ((x, y) * E)
 
     @staticmethod
-    def build(w, cfg) -> "StaticW":
+    def build(w, cfg, concrete: bool = True) -> "StaticW":
+        """concrete=True bakes weights as Python floats (required inside the
+        Pallas kernel — scalar operands are compile-time); concrete=False
+        keeps them traced (fine for the plain-XLA round loop, where weights
+        may be jit arguments)."""
         le_np, delta_np, veh_len = hull_arrays(cfg)
         dl = delta_np / np.linalg.norm(delta_np, axis=-1, keepdims=True)
-        f = lambda v: float(np.asarray(v))
+        f = (lambda v: float(np.asarray(v))) if concrete else (lambda v: v)
         return StaticW(
             wei_obs=f(w.wei_obs), wei_surround=f(w.wei_surround),
             wei_feas=f(w.wei_feas), wei_time=f(w.wei_time),

@@ -239,6 +239,75 @@ def _kernel(x0_ref, bnd_ref, misc_ref, cn_ref, cp_ref, cm_ref, obsc_ref,
         out.n_evals.astype(f32), zero, zero, zero, zero])
 
 
+def _prep(batch: Scenario, w: Weights, dims: Dims, cfg: PlannerConfig,
+          dtype):
+    """Shared setup: clamp boundaries, pack x0 into padded [DP, B] rows,
+    build kernel-layout slabs + constants."""
+    from dftpav_tpu import cost as cost_mod
+    from dftpav_tpu.solver import clamp_boundary_states
+
+    batch = jax.vmap(lambda s: clamp_boundary_states(s, w))(batch)
+    x0 = jax.vmap(lambda s: cost_mod.initial_guess(s, w, dims))(batch)
+    D = x0.shape[1]
+    B = x0.shape[0]
+    x0p = jnp.zeros((DP, B), dtype).at[:D].set(x0.T.astype(dtype))
+    sc = kcost.prep_scenario(batch, dims, dtype)
+    kc = kcost.make_consts(dims, dtype)
+    return batch, x0p, sc, kc, D
+
+
+def _finalize(batch, out_x, out_f, out_status, out_k, w, dims, cfg, D):
+    """Final trajectory coefficients + SolveResult from optimized variables
+    (once per solve, outside the hot loop — same path as
+    solve_batch_bminor)."""
+    from dftpav_tpu import cost as cost_mod
+    from dftpav_tpu import minco
+
+    x_fin = out_x[:D]
+    u = bcost.unpack_b(x_fin, dims)
+    T = cost_mod.virtual_to_real(u.vt, w.mini_t)
+    dT = T / dims.N
+    bm = bcost.to_bminor(batch)
+    heads, tails = bcost.boundary_states_b(bm, u, w, dims)
+    maps = minco.maps_as(dims.N, out_x.dtype)
+    with jax.default_matmul_precision("float32"):
+        coeffs = bcost.generate_b(u.inner, dT, heads, tails, maps)
+
+    cost = out_f / cfg.opt.cost_scale
+    ok = out_status >= 0
+    success = ok & (cost < cfg.opt.reject_cost)
+    return SolveResult(coeffs=jnp.moveaxis(coeffs, -1, 0), dT=dT.T,
+                       cost=cost, n_iters=out_k,
+                       status=out_status, success=success)
+
+
+def solve_batch_rounds(batch: Scenario, w: Weights, dims: Dims,
+                       cfg: PlannerConfig,
+                       max_iterations: int | None = None) -> SolveResult:
+    """The asynchronous-lane round loop as a PLAIN XLA program (no Pallas).
+
+    Two structural wins over solver.solve_batch_bminor, independent of any
+    kernel fusion:
+      * per round, EVERY active lane evaluates its own current line-search
+        trial — the batch pays the per-lane mean trial count, not the batch
+        max (the dominant cost at B=1024 per PERF.md);
+      * the objective is the kcost formulation: MINCO solve + constraint
+        basis sampling collapsed into host-precomputed sample-map matmuls
+        (P_o @ rhs), so the banded system never materializes on device.
+    Weights must be concrete (compile-time) values. S == 1 problem class.
+    """
+    assert dims.S == 1, "round-loop engine covers the single-gear class"
+    dtype = batch.init_T.dtype
+    p = cfg.opt.lbfgs
+    max_iter = p.max_iterations if max_iterations is None else max_iterations
+    sw = StaticW.build(w, cfg, concrete=False)
+    with jax.default_matmul_precision("float32"):
+        batch, x0p, sc, kc, D = _prep(batch, w, dims, cfg, dtype)
+        out = _solve_rounds(x0p, sc, kc, sw, dims, p, max_iter)
+    return _finalize(batch, out.xp, out.fp, out.status, out.k, w, dims,
+                     cfg, D)
+
+
 def solve_batch_fused(batch: Scenario, w: Weights, dims: Dims,
                       cfg: PlannerConfig, max_iterations: int | None = None,
                       tb: int = 128, interpret: bool = False) -> SolveResult:
@@ -247,10 +316,6 @@ def solve_batch_fused(batch: Scenario, w: Weights, dims: Dims,
     batch: Scenario with leading [B] (B % tb == 0), S == 1. Weights must be
     concrete (compile-time) values — the kernel bakes them in.
     """
-    from dftpav_tpu import cost as cost_mod
-    from dftpav_tpu import minco
-    from dftpav_tpu.solver import clamp_boundary_states
-
     assert dims.S == 1, "fused kernel covers the single-gear class"
     dtype = jnp.float32 if not interpret else batch.init_T.dtype
     B = batch.ini_state.shape[0]
@@ -258,14 +323,7 @@ def solve_batch_fused(batch: Scenario, w: Weights, dims: Dims,
     p = cfg.opt.lbfgs
     max_iter = p.max_iterations if max_iterations is None else max_iterations
     sw = StaticW.build(w, cfg)
-
-    batch = jax.vmap(lambda s: clamp_boundary_states(s, w))(batch)
-    x0 = jax.vmap(lambda s: cost_mod.initial_guess(s, w, dims))(batch)
-    D = x0.shape[1]
-    x0p = jnp.zeros((DP, B), dtype).at[:D].set(x0.T.astype(dtype))
-
-    sc = kcost.prep_scenario(batch, dims, dtype)
-    kc = kcost.make_consts(dims, dtype)
+    batch, x0p, sc, kc, D = _prep(batch, w, dims, cfg, dtype)
 
     def lane_spec(shape):
         nlead = len(shape)
@@ -307,22 +365,5 @@ def solve_batch_fused(batch: Scenario, w: Weights, dims: Dims,
     )(x0p, sc.bnd, sc.misc, sc.corr_n, sc.corr_p, sc.corr_m, sc.obs_c,
       kc.P, kc.Q, kc.gridc)
 
-    # final trajectory coefficients from the optimized variables (outside the
-    # kernel, once per solve — same path as solve_batch_bminor)
-    x_fin = x_out[:D]
-    u = bcost.unpack_b(x_fin, dims)
-    T = cost_mod.virtual_to_real(u.vt, w.mini_t)
-    dT = T / dims.N
-    bm = bcost.to_bminor(batch)
-    heads, tails = bcost.boundary_states_b(bm, u, w, dims)
-    maps = minco.maps_as(dims.N, dtype)
-    with jax.default_matmul_precision("float32"):
-        coeffs = bcost.generate_b(u.inner, dT, heads, tails, maps)
-
-    cost = stats[0] / cfg.opt.cost_scale
-    status = stats[1].astype(jnp.int32)
-    ok = status >= 0
-    success = ok & (cost < cfg.opt.reject_cost)
-    return SolveResult(coeffs=jnp.moveaxis(coeffs, -1, 0), dT=dT.T,
-                       cost=cost, n_iters=stats[2].astype(jnp.int32),
-                       status=status, success=success)
+    return _finalize(batch, x_out, stats[0], stats[1].astype(jnp.int32),
+                     stats[2].astype(jnp.int32), w, dims, cfg, D)

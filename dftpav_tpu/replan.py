@@ -56,6 +56,10 @@ def warm_start_scenario(scen: Scenario, prev: SolveResult, dt_shift,
         ini_state=scen.ini_state.at[0].set(new_head),
         init_inner=prev_inner_guess(prev, dt_shift, dims),
         init_T=scen.init_T.at[0].set(T_rem),
+        # the obstacle clock advances with the seed time (obstacle
+        # trajectories live in absolute time, traj_optimizer.cpp:1362-1389)
+        obs_rel_t0=scen.obs_rel_t0 + jnp.asarray(dt_shift,
+                                                 scen.obs_rel_t0.dtype),
     )
 
 
@@ -76,6 +80,76 @@ def prev_inner_guess(prev: SolveResult, dt_shift, dims: Dims):
     return p[None]                             # [S=1, N-1, 2]
 
 
+def _resample_segment(coeffs, dT, start_t, N):
+    """(inner [N-1, 2], T_rem) — re-piece the tail [start_t, end] of one
+    previous-solution segment into N uniform pieces (initial-guess inner
+    waypoints on the remaining horizon)."""
+    dtype = coeffs.dtype
+    total = dT * N
+    T_rem = jnp.maximum(total - start_t, N * 1e-2)
+    ts = start_t + (jnp.arange(1, N, dtype=dtype) / N) * T_rem
+    tc = jnp.clip(ts, 0.0, total)
+    idx = jnp.clip((tc / dT).astype(jnp.int32), 0, N - 1)
+    tau = tc / dT - idx.astype(dtype)
+    (p,) = minco.eval_derivatives(coeffs[idx], dT, tau, orders=(0,))
+    return p, T_rem
+
+
+def warm_start_scenario_multigear(scen: Scenario, prev: SolveResult,
+                                  dt_shift, w: Weights,
+                                  dims: Dims) -> Scenario:
+    """Advance one multi-gear scenario by dt_shift along its previous
+    solution (reference: Replan seeds from the executing SingulTrajData at
+    now + Budget, locating the active LocalTrajData by wall time,
+    traj_server_ros.cpp:406-501 + traj_container locate-by-time).
+
+    Locates the gear segment containing dt_shift, truncates it, and shifts
+    the remaining segments up: new segment 0 is the remainder of the active
+    segment (head = trajectory state at the seed time), later segments keep
+    their previous solutions as warm guesses, and freed slots are masked
+    padding (copies of the last real segment, matching pipeline.py's
+    convention). Corridors ride along with their segments — the remaining
+    path stays inside the original segment corridors. Obstacle clocks
+    advance by dt_shift.
+    """
+    S, N = dims.S, dims.N
+    dtype = prev.coeffs.dtype
+    segw = scen.seg_mask
+    M = jnp.sum(segw.astype(jnp.int32))                    # valid segments
+    Ts = jnp.where(segw, prev.dT * N, 0.0)                 # [S]
+    cum = jnp.cumsum(Ts)
+    total = cum[-1]
+    t = jnp.clip(jnp.asarray(dt_shift, dtype), 0.0, total - 1e-3)
+    j = jnp.minimum(jnp.sum((cum <= t).astype(jnp.int32)),
+                    jnp.maximum(M - 1, 0))                 # active segment
+    t_local = t - jnp.where(j > 0, cum[jnp.maximum(j - 1, 0)], 0.0)
+
+    idx_new = jnp.minimum(j + jnp.arange(S), jnp.maximum(M - 1, 0))
+    new_mask = (jnp.arange(S) < (M - j)) & segw[0]
+
+    start_ts = jnp.where(jnp.arange(S) == 0, t_local, 0.0)
+    inner_new, T_new = jax.vmap(_resample_segment, in_axes=(0, 0, 0, None))(
+        prev.coeffs[idx_new], prev.dT[idx_new], start_ts, N)
+
+    new_head = _eval_flat_state(prev.coeffs[j], prev.dT[j], t_local)
+    ini = scen.ini_state[idx_new]
+    ini = ini.at[0].set(new_head)
+
+    return scen._replace(
+        ini_state=ini,
+        fin_state=scen.fin_state[idx_new],
+        init_inner=inner_new,
+        init_T=jnp.maximum(T_new, N * w.mini_t + 1e-3),
+        singul=scen.singul[idx_new],
+        seg_mask=new_mask,
+        corr_n=scen.corr_n[idx_new],
+        corr_p=scen.corr_p[idx_new],
+        corr_mask=scen.corr_mask[idx_new],
+        obs_rel_t0=scen.obs_rel_t0 + jnp.asarray(dt_shift,
+                                                 scen.obs_rel_t0.dtype),
+    )
+
+
 def make_replanner(cfg: PlannerConfig, dims: Dims, dt_shift: float,
                    max_iterations: int = 50, jit: bool = True):
     """Jitted replan step: (Scenario[B], SolveResult[B], Weights) ->
@@ -84,15 +158,18 @@ def make_replanner(cfg: PlannerConfig, dims: Dims, dt_shift: float,
     Each call advances every lane along its own previous solution by
     dt_shift and re-solves warm-started. This is the batched equivalent of
     the 20 Hz PlanCycleCallback loop (traj_server_ros.cpp:116-192); stack it
-    under `lax.scan` or a host loop for a replan stream.
+    under `lax.scan` or a host loop for a replan stream. Multi-gear classes
+    (dims.S > 1) advance along the full SingulTrajData, crossing gear
+    boundaries as the seed time passes them.
     """
-    assert dims.S == 1, "receding-horizon replan assumes single-gear urban"
     base = solver.make_solver(cfg, dims, max_iterations=max_iterations,
                               jit=False)
+    warm = (warm_start_scenario if dims.S == 1
+            else warm_start_scenario_multigear)
 
     def step(batch: Scenario, prev: SolveResult, w: Weights):
         shifted = jax.vmap(
-            lambda s, p: warm_start_scenario(s, p, dt_shift, w, dims)
+            lambda s, p: warm(s, p, dt_shift, w, dims)
         )(batch, prev)
         res = base(shifted, w)
         return shifted, res

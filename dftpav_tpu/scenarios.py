@@ -213,3 +213,119 @@ def gear_scenario(dims: Dims, wheel_base=2.85, dtype=np.float64) -> Scenario:
         obs_coef=np.zeros((O, Po, 6, 2), dtype), obs_dt=np.ones((O,), dtype),
         obs_rel_t0=np.zeros((O,), dtype), obs_mask=np.zeros((O,), bool),
     )
+
+
+# ---------------------------------------------------------------------------
+# Front-end-sourced batches (the REAL problem distribution)
+# ---------------------------------------------------------------------------
+
+def random_lot_grid(rng, lot=(40.0, 60.0), res=0.1, n_boxes=6):
+    """A randomized parking-lot occupancy grid: boundary walls + rectangular
+    obstacle islands (the obstacles_norm.json analogue of the reference's
+    playgrounds)."""
+    from dftpav_tpu.frontend import GridMap2D
+
+    ny, nx = int(lot[0] / res), int(lot[1] / res)
+    occ = np.zeros((ny, nx), np.uint8)
+    occ[:3, :] = 1
+    occ[-3:, :] = 1
+    occ[:, :3] = 1
+    occ[:, -3:] = 1
+    for _ in range(n_boxes):
+        w = rng.uniform(2.0, 5.0)
+        h = rng.uniform(2.0, 5.0)
+        x0 = rng.uniform(4.0, lot[1] - 4.0 - w)
+        y0 = rng.uniform(4.0, lot[0] - 4.0 - h)
+        occ[int(y0 / res):int((y0 + h) / res),
+            int(x0 / res):int((x0 + w) / res)] = 1
+    return GridMap2D(occ, origin=(0.0, 0.0), resolution=res)
+
+
+def frontend_batch(dims: Dims, batch: int, seed=0, dtype=np.float32,
+                   n_obstacles=0, lot=(40.0, 60.0), queries_per_grid=16,
+                   max_search_time=0.1):
+    """Batched scenarios from the ACTUAL front end: randomized lot grids,
+    native kino A* + Reeds-Shepp + rectangle-corridor growth
+    (traj_manager.cpp:160-238 pipeline), optional circling movers MINCO-fit
+    as surround trajectories (parking_moving_obstacles.cc:42-100).
+
+    Only plans whose gear-segment count fits dims.S are kept (for the S=1
+    bench class that is the single-gear subset of the distribution — same
+    class the synthetic bench draws from, but with real corridor geometry).
+    Returns a Scenario with leading [batch].
+    """
+    from dftpav_tpu.config import FrontendConfig, PlannerConfig
+    from dftpav_tpu.pipeline import ParkingPlanner
+    from dftpav_tpu.sim.obstacles import CircularMover, fit_surround_trajs
+
+    rng = np.random.default_rng(seed)
+    cfg = PlannerConfig()
+    cfg = type(cfg)(**{**cfg.__dict__,
+                       "frontend": FrontendConfig(
+                           max_search_time=max_search_time)})
+    out = []
+    attempts = 0
+    while len(out) < batch:
+        grid = random_lot_grid(rng, lot=lot,
+                               n_boxes=int(rng.integers(4, 9)))
+        pp = ParkingPlanner(grid, cfg, dims, dtype=dtype)
+        vp = cfg.vehicle
+
+        def free_pose():
+            for _ in range(50):
+                x = rng.uniform(5.0, lot[1] - 5.0)
+                y = rng.uniform(5.0, lot[0] - 5.0)
+                yaw = rng.uniform(-np.pi, np.pi)
+                if not grid.obb_collides(x, y, yaw, vp.length + 0.6,
+                                         vp.width + 0.6, vp.d_cr):
+                    return x, y, yaw
+            return None
+
+        for _ in range(queries_per_grid):
+            if len(out) >= batch:
+                break
+            attempts += 1
+            if attempts > 60 * batch:
+                raise RuntimeError(
+                    f"front end produced only {len(out)}/{batch} scenarios")
+            sp = free_pose()
+            if sp is None:
+                continue
+            # goal ahead-ish of the start so single-gear plans dominate when
+            # dims.S == 1; multi-gear classes draw fully random goals
+            if dims.S == 1:
+                d = rng.uniform(8.0, 18.0)
+                dyaw = rng.uniform(-0.7, 0.7)
+                gx = sp[0] + d * np.cos(sp[2] + dyaw * 0.5)
+                gy = sp[1] + d * np.sin(sp[2] + dyaw * 0.5)
+                gyaw = sp[2] + dyaw
+            else:
+                g = free_pose()
+                if g is None:
+                    continue
+                gx, gy, gyaw = g
+            if not (3.0 < gx < lot[1] - 3.0 and 3.0 < gy < lot[0] - 3.0):
+                continue
+            if grid.obb_collides(gx, gy, gyaw, vp.length + 0.4,
+                                 vp.width + 0.4, vp.d_cr):
+                continue
+            v0 = rng.uniform(0.2, 2.0)
+            scen, meta = pp.plan_scenario((sp[0], sp[1], sp[2], v0),
+                                          (gx, gy, gyaw, 0.0))
+            if scen is None:
+                continue
+            if n_obstacles > 0 and dims.O > 0:
+                movers = [CircularMover(
+                    center=(rng.uniform(10.0, lot[1] - 10.0),
+                            rng.uniform(10.0, lot[0] - 10.0)),
+                    radius=rng.uniform(8.0, 14.0),
+                    speed=rng.uniform(2.0, 4.5),
+                    phase=rng.uniform(0.0, 2 * np.pi),
+                    ccw=bool(rng.integers(0, 2)))
+                    for _ in range(min(n_obstacles, dims.O))]
+                obs = fit_surround_trajs(movers, 0.0, dims, dtype=dtype)
+                scen = scen._replace(
+                    obs_coef=obs["obs_coef"], obs_dt=obs["obs_dt"],
+                    obs_rel_t0=obs["obs_rel_t0"], obs_mask=obs["obs_mask"])
+            out.append(scen)
+    return stack_scenarios(out)

@@ -132,7 +132,11 @@ def make_solver(cfg: PlannerConfig, dims: Dims,
     engine="bminor" (default) uses the TPU-optimized batch-minor path;
     engine="vmap" uses the readable reference path (identical math).
     """
-    if engine == "bminor":
+    if engine == "rounds":
+        from dftpav_tpu.ops.pallas_solve import solve_batch_rounds
+        fn = functools.partial(solve_batch_rounds, dims=dims, cfg=cfg,
+                               max_iterations=max_iterations)
+    elif engine == "bminor":
         fn = functools.partial(solve_batch_bminor, dims=dims, cfg=cfg,
                                max_iterations=max_iterations)
     else:

@@ -157,3 +157,30 @@ def test_full_pipeline_solve():
         res.coeffs[meta.n_segments - 1][-1], res.dT[meta.n_segments - 1],
         jnp.ones(()), (0,))[0])
     np.testing.assert_allclose(pe, [23.0, 18.2], atol=1e-6)
+
+
+def test_frontend_batch_distribution():
+    """Batched scenarios drawn from the real front end (randomized lots,
+    native A* + corridors, movers): static shapes, valid corridor geometry,
+    and the batched solver succeeds on the distribution."""
+    import jax
+    import jax.numpy as jnp
+
+    from dftpav_tpu import scenarios, solver
+    from dftpav_tpu.types import Dims, weights_from_config
+
+    dims = Dims(S=1, N=8, K=16, Kdes=32, H=4, O=2, Po=8)
+    cfg = PlannerConfig()
+    b = scenarios.frontend_batch(dims, 8, seed=5, n_obstacles=2,
+                                 dtype=np.float64)
+    assert b.ini_state.shape == (8, 1, 2, 3)
+    assert b.corr_mask.all() and b.obs_mask.all() and b.seg_mask.all()
+    # corridor half-planes contain their own seed states: normals are unit
+    nn = np.linalg.norm(b.corr_n, axis=-1)
+    np.testing.assert_allclose(nn, 1.0, atol=1e-6)
+
+    w = weights_from_config(cfg.opt, dtype=jnp.float64)
+    solve = solver.make_solver(cfg, dims, max_iterations=150)
+    res = solve(jax.tree.map(jnp.asarray, b), w)
+    succ = np.asarray(res.success.astype(jnp.int32))
+    assert succ.sum() >= 7, np.asarray(res.cost)

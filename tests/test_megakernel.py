@@ -142,3 +142,23 @@ def test_fused_solver_no_obstacles():
                                   np.asarray(res_ref.success))
     np.testing.assert_allclose(np.asarray(res.cost), np.asarray(res_ref.cost),
                                rtol=0.08)
+
+
+def test_rounds_engine_matches_bminor():
+    """solve_batch_rounds (plain-XLA async round loop) end-to-end parity."""
+    from dftpav_tpu.ops.pallas_solve import solve_batch_rounds
+
+    cfg, w, batch, _c, _xT, _xp, _sw, _sc, _kc = _setup(B=8)
+    res_ref = solver.solve_batch_bminor(batch, w, DIMS, cfg,
+                                        max_iterations=40)
+    res = solve_batch_rounds(batch, w, DIMS, cfg, max_iterations=40)
+    np.testing.assert_array_equal(np.asarray(res.success),
+                                  np.asarray(res_ref.success))
+    np.testing.assert_allclose(np.asarray(res.cost), np.asarray(res_ref.cost),
+                               rtol=0.08)
+    # jittable with traced weights (the make_solver path)
+    import jax
+    jitted = jax.jit(lambda b, ww: solve_batch_rounds(b, ww, DIMS, cfg,
+                                                      max_iterations=12))
+    r2 = jitted(batch, w)
+    assert np.asarray(r2.cost).shape == (8,)

@@ -170,3 +170,61 @@ def test_warm_start_replan_reduces_iterations():
     # shifted start state sits on the previous trajectory (continuity)
     p_prev = np.asarray(r0.coeffs[:, 0, 0, 0])  # not a strict check here
     assert shifted.ini_state.shape == batch.ini_state.shape
+
+
+def test_warm_start_replan_multigear():
+    """Multi-gear receding-horizon warm start (traj_server_ros.cpp:406-501
+    over a SingulTrajData): iteration collapse within a segment, and correct
+    gear-boundary crossing (segment roll + mask shrink) when the seed time
+    passes the first gear switch."""
+    from dftpav_tpu import replan
+
+    cfg = PlannerConfig()
+    dims = Dims(S=2, N=8, K=16, Kdes=32, H=4, O=0, Po=8)
+    B = 4
+    scens = scenarios.stack_scenarios(
+        [scenarios.gear_scenario(dims, dtype=np.float32) for _ in range(B)])
+    w = weights_from_config(cfg.opt, dtype=jnp.float32)
+    batch = jax.tree.map(jnp.asarray, scens)
+    cold = solver.make_solver(cfg, dims, max_iterations=300, jit=False)
+    r0 = cold(batch, w)
+    assert np.asarray(r0.success).all()
+
+    # --- seed inside segment 0: both segments stay, iterations collapse ---
+    rp = replan.make_replanner(cfg, dims, dt_shift=0.1, max_iterations=300,
+                               jit=False)
+    shifted, r1 = rp(batch, r0, w)
+    assert np.asarray(r1.success).all()
+    assert np.asarray(shifted.seg_mask).all()
+    np.testing.assert_array_equal(np.asarray(shifted.singul),
+                                  np.asarray(batch.singul))
+    it0 = np.median(np.asarray(r0.n_iters))
+    it1 = np.median(np.asarray(r1.n_iters))
+    assert it1 < 0.6 * it0, (it0, it1)
+
+    # new head = previous trajectory state at the seed time (independent
+    # Horner evaluation of the normalized piece coefficients)
+    T0 = float(np.asarray(r0.dT)[0, 0]) * dims.N
+    c = np.asarray(r0.coeffs)[0, 0]                       # [N, 6, 2]
+    dT = np.asarray(r0.dT)[0, 0]
+    s = 0.1 / dT
+    idx = min(int(s), dims.N - 1)
+    tau = s - idx
+    pos = sum(c[idx, k] * tau**k for k in range(6))
+    np.testing.assert_allclose(np.asarray(shifted.ini_state)[0, 0, :, 0],
+                               pos, atol=1e-5)
+
+    # --- seed past the gear switch: roll to segment 1, one active segment ---
+    t_cross = T0 + 0.2
+    rp2 = replan.make_replanner(cfg, dims, dt_shift=t_cross,
+                                max_iterations=300, jit=False)
+    shifted2, r2 = rp2(batch, r0, w)
+    sm = np.asarray(shifted2.seg_mask)
+    assert sm[:, 0].all() and not sm[:, 1].any(), sm
+    np.testing.assert_array_equal(np.asarray(shifted2.singul)[:, 0],
+                                  np.asarray(batch.singul)[:, 1])
+    assert np.asarray(r2.success).all(), np.asarray(r2.cost)
+    # remaining duration ~ T1 - 0.2
+    T1 = np.asarray(r0.dT)[0, 1] * dims.N
+    np.testing.assert_allclose(np.asarray(shifted2.init_T)[0, 0],
+                               T1 - 0.2, rtol=0.05)
