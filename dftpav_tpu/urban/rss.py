@@ -112,3 +112,117 @@ def rss_safe(ego_s, ego_d, ego_vs, ego_vd, other_s, other_d, other_vs,
     unsafe = (jnp.abs(ego_s - other_s) < d_lon) \
         & (jnp.abs(ego_d - other_d) < d_lat)
     return ~unsafe
+
+
+# ---------------------------------------------------------------------------
+# Typed RSS check (the EUDM safety ladder input)
+# ---------------------------------------------------------------------------
+
+# LongitudinalViolateType (rss_checker.h:16)
+LEGAL, TOO_FAST, TOO_SLOW = 0, 1, 2
+
+_EPS = 1.0e-6  # common kEPS
+
+
+def safe_longitudinal_velocity(other_vs, other_in_front, lon_dist_abs,
+                               cfg: RssConfig = RssConfig()):
+    """CalculateSafeLongitudinalVelocity (rss_checker.cc:65-140).
+
+    Returns (ego_vel_low, ego_vel_up): the RSS-legal band for the ego's
+    longitudinal velocity given the gap ``lon_dist_abs`` to the other vehicle.
+    ``other_in_front``: bool, other is longitudinally ahead of ego.
+    """
+    ov = jnp.abs(other_vs)
+    ov_rt = ov + cfg.lon_acc_max * cfg.response_time
+    # other's passive stopping distance (response + min brake)
+    other_passive = ((ov + ov_rt) / 2.0 * cfg.response_time
+                     + ov_rt * ov_rt / (2.0 * cfg.lon_brake_min))
+
+    # ego-velocity quadratic: a v^2 + b v + c = 0 with the ego accelerating
+    # through the response time then min-braking
+    a = 1.0 / (2.0 * cfg.lon_brake_min)
+    b = (cfg.response_time
+         + cfg.lon_acc_max * cfg.response_time / cfg.lon_brake_min)
+    c0 = 0.5 * (cfg.lon_acc_max
+                + cfg.lon_acc_max ** 2 / cfg.lon_brake_min) \
+        * cfg.response_time ** 2
+
+    def quad_root(c):
+        disc = jnp.maximum(b * b - 4.0 * a * c, 0.0)
+        return (-b + jnp.sqrt(disc)) / (2.0 * a)
+
+    # Front, other driving forward: other hard-brakes (max brake)
+    other_hard = ov * ov / (2.0 * cfg.lon_brake_max)
+    up_front_fwd = quad_root(c0 - other_hard - lon_dist_abs)
+    # Front, other driving towards ego: other's passive distance eats the gap
+    up_front_bwd = jnp.where(other_passive > lon_dist_abs, 0.0,
+                             quad_root(c0 - (lon_dist_abs - other_passive)))
+    up_front = jnp.where(other_vs >= 0.0, up_front_fwd, up_front_bwd)
+    low_front = jnp.zeros_like(up_front)
+
+    # Rear, other driving forward: ego must keep enough speed that the
+    # other's passive advance cannot close the gap under ego max-brake
+    low_rear_fwd = jnp.where(
+        other_passive < lon_dist_abs, 0.0,
+        jnp.sqrt(2.0 * cfg.lon_brake_max
+                 * jnp.maximum(other_passive - lon_dist_abs, 0.0)))
+    low_rear = jnp.where(other_vs >= 0.0, low_rear_fwd, 0.0)
+    up_rear = jnp.full_like(low_rear, jnp.inf)
+
+    low = jnp.where(other_in_front, low_front, low_rear)
+    up = jnp.where(other_in_front, up_front, up_rear)
+    return low, up
+
+
+def rss_check_typed(ego_s, ego_d, ego_vs, ego_vd,
+                    other_s, other_d, other_vs, other_vd,
+                    ego_len, ego_width, ego_dcr,
+                    other_len, other_width, other_dcr,
+                    cfg: RssConfig = RssConfig()):
+    """RssCheck, vehicle overload (rss_checker.cc:291-394), vectorized.
+
+    States are Frenet (s, d) of the REAR-AXLE point with d_cr the
+    axle-to-geometric-center offset (semantics.h:66-76). Returns
+    (is_safe, lon_type, rss_vel_low, rss_vel_up) with lon_type in
+    {LEGAL, TOO_FAST, TOO_SLOW}; the vel bounds are 0 where legal,
+    matching the reference's outputs.
+    """
+    in_front = other_s > ego_s
+    on_left = other_d > ego_d
+
+    # lateral gate, inflated by the half-widths (rss_checker.cc:330-343)
+    d_lat_safe = safe_lateral_distance(ego_vd, other_vd, on_left, cfg) \
+        + 0.5 * (ego_width + other_width)
+    lat_clear = jnp.abs(ego_d - other_d) > d_lat_safe
+
+    # bumper-to-bumper longitudinal gap (rss_checker.cc:345-362)
+    ego_front_off = 0.5 * ego_len + ego_dcr
+    ego_back_off = jnp.abs(0.5 * ego_len - ego_dcr)
+    oth_front_off = 0.5 * other_len + other_dcr
+    oth_back_off = jnp.abs(0.5 * other_len - other_dcr)
+    gap = jnp.abs(ego_s - other_s)
+    lon_dist = jnp.where(in_front, gap - ego_front_off - oth_back_off,
+                         gap - oth_front_off - ego_back_off)
+
+    overlap_front = (lon_dist < 0.0) & in_front
+
+    low, up = safe_longitudinal_velocity(other_vs, in_front, lon_dist, cfg)
+    too_fast = ego_vs > up + _EPS
+    too_slow = ego_vs < low - _EPS
+
+    lon_type = jnp.where(too_fast, TOO_FAST,
+                         jnp.where(too_slow, TOO_SLOW, LEGAL))
+    lon_type = jnp.where(overlap_front, TOO_FAST, lon_type)
+    vel_low = jnp.where(overlap_front, 0.0, jnp.where(too_fast | too_slow,
+                                                      low, 0.0))
+    vel_up = jnp.where(overlap_front, 0.0, jnp.where(too_fast | too_slow,
+                                                     up, 0.0))
+
+    # guard order matches the reference: reverse ego -> legal; lateral
+    # clearance -> legal (both override everything after them)
+    legal_early = (ego_vs < 0.0) | lat_clear
+    is_safe = legal_early | ((lon_type == LEGAL) & ~overlap_front)
+    lon_type = jnp.where(legal_early, LEGAL, lon_type)
+    vel_low = jnp.where(legal_early, 0.0, vel_low)
+    vel_up = jnp.where(legal_early, 0.0, vel_up)
+    return is_safe, lon_type, vel_low, vel_up

@@ -294,6 +294,165 @@ class TestEUDM:
 
 
 # ---------------------------------------------------------------------------
+# EUDM typed-RSS safety ladder + CFB belief branching
+# ---------------------------------------------------------------------------
+
+class TestTypedRSS:
+    """rss_check_typed vs the reference RssCheck semantics
+    (rss_checker.cc:291-394)."""
+
+    GEOM = (4.88, 1.9, 1.015)
+
+    def test_tailgate_is_too_fast(self):
+        from dftpav_tpu.urban import rss
+        safe, typ, lo, up = rss.rss_check_typed(
+            0., 0., 10., 0., 12., 0., 1., 0., *self.GEOM, *self.GEOM)
+        assert not bool(safe)
+        assert int(typ) == rss.TOO_FAST
+        assert float(up) < 10.0  # ego exceeds the legal upper bound
+
+    def test_fast_rear_car_makes_slow_ego_too_slow(self):
+        from dftpav_tpu.urban import rss
+        safe, typ, lo, up = rss.rss_check_typed(
+            0., 0., 2., 0., -8., 0., 12., 0., *self.GEOM, *self.GEOM)
+        assert not bool(safe)
+        assert int(typ) == rss.TOO_SLOW
+        assert float(lo) > 2.0  # ego is below the legal lower bound
+
+    def test_lateral_clearance_is_legal(self):
+        from dftpav_tpu.urban import rss
+        safe, typ, lo, up = rss.rss_check_typed(
+            0., 0., 10., 0., 12., 5.5, 1., 0., *self.GEOM, *self.GEOM)
+        assert bool(safe)
+        assert int(typ) == rss.LEGAL
+        assert float(lo) == 0.0 and float(up) == 0.0
+
+    def test_reverse_ego_is_legal(self):
+        from dftpav_tpu.urban import rss
+        safe, typ, _, _ = rss.rss_check_typed(
+            0., 0., -1., 0., 6., 0., 1., 0., *self.GEOM, *self.GEOM)
+        assert bool(safe) and int(typ) == rss.LEGAL
+
+    def test_bumper_overlap_front_is_too_fast(self):
+        from dftpav_tpu.urban import rss
+        safe, typ, lo, up = rss.rss_check_typed(
+            0., 0., 1., 0., 4.0, 0., 1., 0., *self.GEOM, *self.GEOM)
+        assert not bool(safe)
+        assert int(typ) == rss.TOO_FAST
+        assert float(lo) == 0.0 and float(up) == 0.0
+
+    def test_ladder_cost_monotone_in_overspeed(self):
+        """eudm_planner.cc:1012-1018: TooFast cost grows exponentially with
+        the overshoot above rss_vel_up."""
+        from dftpav_tpu.urban import eudm
+        cfg = eudm.EUDMConfig()
+        c = lambda v, up: (cfg.rss_over_speed_linear_coeff * v
+                           * 10.0 ** (cfg.rss_over_speed_power_coeff
+                                      * abs(v - up)))
+        assert c(12.0, 7.0) > c(10.0, 7.0) > c(8.0, 7.0) > 0.0
+
+
+class TestEUDMSafetyLadder:
+    def _near_miss(self):
+        """Ego fast behind a slow leader, 18 m gap, same lane: overtaking
+        policies pass RSS-close; the ladder must price them."""
+        ls = two_lane_set()
+        states = jnp.array([[0.0, 0.0, 0.0, 8.0, 0.0, 0.0],
+                            [18.0, 0.0, 0.0, 2.0, 0.0, 0.0]])
+        return ls, states, jnp.array([0, 0], jnp.int32), default_geom(2)
+
+    def test_ladder_prices_risky_policies_and_reorders(self):
+        from dftpav_tpu.urban import eudm
+        ls, states, ids, geom_ = self._near_miss()
+        cfg_on = eudm.EUDMConfig(desired_velocity=8.0)
+        cfg_off = cfg_on._replace(rss_cost_enable=False)
+        r_on = eudm.eudm_plan(ls, states, ids, geom_, 0, fsim.SimParam(),
+                              cfg_on)
+        r_off = eudm.eudm_plan(ls, states, ids, geom_, 0, fsim.SimParam(),
+                               cfg_off)
+        s_on = np.asarray(r_on.scores)
+        s_off = np.asarray(r_off.scores)
+        fin = np.isfinite(s_on) & np.isfinite(s_off)
+        # ladder only adds cost, and strictly prices some near-miss policy
+        assert (s_on[fin] >= s_off[fin] - 1e-5).all()
+        assert (s_on[fin] > s_off[fin] + 1.0).any()
+        assert bool(np.asarray(r_on.risky).any())
+        # pricing the close-pass flips the decision vs the ladder-free run
+        assert int(r_on.best_policy) != int(r_off.best_policy)
+
+    def test_free_road_has_zero_ladder_cost(self):
+        from dftpav_tpu.urban import eudm
+        ls = two_lane_set()
+        states = jnp.array([[0.0, 0.0, 0.0, 5.0, 0.0, 0.0],
+                            [180.0, 0.0, 0.0, 5.0, 0.0, 0.0]])
+        ids = jnp.array([0, 0], jnp.int32)
+        cfg = eudm.EUDMConfig(desired_velocity=8.0)
+        r_on = eudm.eudm_plan(ls, states, ids, default_geom(2), 0,
+                              fsim.SimParam(), cfg)
+        r_off = eudm.eudm_plan(ls, states, ids, default_geom(2), 0,
+                               fsim.SimParam(),
+                               cfg._replace(rss_cost_enable=False))
+        np.testing.assert_allclose(np.asarray(r_on.scores),
+                                   np.asarray(r_off.scores), rtol=1e-6)
+
+
+class TestEUDMCFB:
+    def test_belief_combo_table(self):
+        from dftpav_tpu.urban import eudm
+        probs = np.array([[1.0, 0.0, 0.0], [0.3, 0.0, 0.7]])
+        combos, p = eudm.cfb_belief_combos(probs, (1,))
+        assert combos.shape == (3, 1)
+        np.testing.assert_allclose(p, [0.3, 0.0, 0.7])
+        combos2, p2 = eudm.cfb_belief_combos(probs, (0, 1))
+        assert combos2.shape == (9, 2)
+        assert p2.sum() == pytest.approx(1.0)
+
+    def test_cut_in_belief_flips_decision(self):
+        """The CFB done-criterion: an uncertain neighbor believed to cut in
+        changes the chosen behavior vs observed-only prediction."""
+        from dftpav_tpu.urban import eudm
+        ls = two_lane_set()
+        # ego lane 0 at speed, free ahead; slow car on lane 1, 14 m ahead,
+        # believed 70% to merge right into ego's lane
+        states = jnp.array([[0.0, 0.0, 0.0, 8.0, 0.0, 0.0],
+                            [14.0, 3.5, 0.0, 2.0, 0.0, 0.0]])
+        ids = jnp.array([0, 1], jnp.int32)
+        geom_ = default_geom(2)
+        cfg = eudm.EUDMConfig(desired_velocity=8.0)
+        obs = eudm.eudm_plan(ls, states, ids, geom_, 0, fsim.SimParam(), cfg)
+        probs = np.array([[1.0, 0.0, 0.0], [0.3, 0.0, 0.7]])
+        cfb = eudm.eudm_plan_cfb(ls, states, ids, geom_, 0, fsim.SimParam(),
+                                 cfg, probs, (1,))
+        po, pc = int(obs.best_policy), int(cfb.best_policy)
+        assert po != pc
+        # the observed-only winner (maintain, lane-keep) is invalid under
+        # the focused cut-in belief
+        assert not bool(np.asarray(cfb.valid)[po])
+        assert not np.isfinite(float(np.asarray(cfb.scores)[po]))
+        # the CFB winner decelerates and/or vacates the lane
+        sc = np.asarray(obs.action_script)
+        assert (sc[pc][:, 0] == eudm.DECEL).any() or (sc[pc][:, 1] != 0).any()
+
+    def test_certain_belief_matches_observed(self):
+        """A one-hot lane-keep belief must reproduce eudm_plan exactly."""
+        from dftpav_tpu.urban import eudm
+        ls = two_lane_set()
+        states = jnp.array([[0.0, 0.0, 0.0, 5.0, 0.0, 0.0],
+                            [25.0, 0.0, 0.0, 1.0, 0.0, 0.0]])
+        ids = jnp.array([0, 0], jnp.int32)
+        geom_ = default_geom(2)
+        cfg = eudm.EUDMConfig(desired_velocity=8.0)
+        obs = eudm.eudm_plan(ls, states, ids, geom_, 0, fsim.SimParam(), cfg)
+        probs = np.array([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+        cfb = eudm.eudm_plan_cfb(ls, states, ids, geom_, 0, fsim.SimParam(),
+                                 cfg, probs, (1,))
+        assert int(cfb.best_policy) == int(obs.best_policy)
+        so, sc = np.asarray(obs.scores), np.asarray(cfb.scores)
+        fin = np.isfinite(so)
+        np.testing.assert_allclose(sc[fin], so[fin], rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
 # RSS + MOBIL
 # ---------------------------------------------------------------------------
 
