@@ -42,6 +42,9 @@ class SSCConfig(NamedTuple):
     a_lat: tuple = (-3.0, 3.0)
     qp_iters: int = 150
     corridor: CorridorConfig = CorridorConfig()
+    # "interval" = fast closed-form inflation (ssc/corridor.py);
+    # "voxel" = grid-exact inflation matching ssc_map.cc (ssc/voxel.py)
+    corridor_backend: str = "interval"
 
 
 class _QPTemplate(NamedTuple):
@@ -201,9 +204,15 @@ def ssc_plan(lane, ego_state, forward_traj, times, obs_trajs, obs_mask,
     sdotT = jnp.maximum(fsT.s_dot, 0.1)
     ddotT = fsT.d_prime * fsT.s_dot
 
-    corr = build_corridor(jnp.asarray(times_np, dtype), seed_s, seed_d,
-                          obs_s, obs_d, geom_half_l, geom_half_w, obs_mask,
-                          M, cfg.corridor)
+    if cfg.corridor_backend == "voxel":
+        from dftpav_tpu.ssc.voxel import build_corridor_voxel
+        corr = build_corridor_voxel(
+            jnp.asarray(times_np, dtype), seed_s, seed_d, obs_s, obs_d,
+            geom_half_l, geom_half_w, obs_mask, M)
+    else:
+        corr = build_corridor(jnp.asarray(times_np, dtype), seed_s, seed_d,
+                              obs_s, obs_d, geom_half_l, geom_half_w,
+                              obs_mask, M, cfg.corridor)
 
     # --- traced QP data, dims stacked as a leading batch of 2 (s, d) ---
     Q = jnp.asarray(tpl.Q + cfg.weight_proximity * tpl.P, dtype)
@@ -245,6 +254,8 @@ def ssc_plan(lane, ego_state, forward_traj, times, obs_trajs, obs_mask,
 
     ctrl = qp.x.reshape(2, M, N_ORD)
     spline = BezierSpline(ctrl=ctrl, t_lb=corr.t_lb, t_ub=corr.t_ub)
+    from dftpav_tpu.ssc.qp import INFEASIBLE
     feasible = (jnp.all(corr.s_ub > corr.s_lb)
-                & jnp.all(corr.d_ub > corr.d_lb) & corr.seed_free)
+                & jnp.all(corr.d_ub > corr.d_lb) & corr.seed_free
+                & jnp.all(qp.status != INFEASIBLE))
     return SSCResult(spline=spline, corridor=corr, qp=qp, feasible=feasible)

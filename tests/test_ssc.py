@@ -44,6 +44,33 @@ class TestADMMQP:
         np.testing.assert_allclose(np.asarray(res.x),
                                    [[1, 1], [2, 2], [-1, -1]], atol=1e-3)
 
+    def test_solves_to_tolerance_with_status(self):
+        """OOQP-parity semantics: residual-driven exit + SOLVED status
+        (common/solver/ooqp_interface.cc solve-to-status)."""
+        from dftpav_tpu.ssc.qp import SOLVED
+        Q = jnp.eye(2)
+        c = jnp.zeros(2)
+        G = jnp.array([[1.0, 1.0]])
+        b = jnp.array([2.0])
+        res = admm_qp(Q, c, G, b, b, n_eq=1, iters=500)
+        assert int(res.status) == SOLVED
+        assert float(res.primal_res) < 1e-3
+        assert float(res.dual_res) < 1e-3
+        # exits well before the cap on this trivial problem
+        assert int(res.n_iters) < 500
+
+    def test_infeasible_reported(self):
+        """Contradictory constraints: x <= -1 and x >= 1 -> INFEASIBLE."""
+        from dftpav_tpu.ssc.qp import INFEASIBLE
+        Q = jnp.eye(1)
+        c = jnp.zeros(1)
+        G = jnp.array([[1.0], [1.0]])
+        lo = jnp.array([-10.0, 1.0])
+        hi = jnp.array([-1.0, 10.0])
+        res = admm_qp(Q, c, G, lo, hi, n_eq=0, iters=300)
+        assert int(res.status) == INFEASIBLE
+        assert float(res.primal_res) > 1e-1
+
 
 class TestCorridor:
     def _build(self, obs_s0, obs_d0, obs_v=0.0):
@@ -79,6 +106,91 @@ class TestCorridor:
         assert float(corr.d_ub[0]) == pytest.approx(cfg.d_half_width, abs=0.1)
         assert float(corr.s_ub[-1]) == pytest.approx(
             32.0 + cfg.s_forward, abs=0.2)
+
+
+class TestVoxelCorridor:
+    """ssc/voxel.py vs the interval fast path: the voxel grid reproduces
+    ssc_map.cc's cube inflation and handles layouts interval left/right
+    classification cannot express."""
+
+    def _layout(self, obs_s0, obs_d0, half_l, half_w):
+        T, M = 20, 5
+        times = jnp.linspace(0.0, 4.0, T + 1)
+        seed_s = 8.0 * times
+        seed_d = jnp.zeros(T + 1)
+        A = len(obs_s0)
+        obs_s = jnp.asarray(obs_s0)[:, None] * jnp.ones((A, T + 1))
+        obs_d = jnp.asarray(obs_d0)[:, None] * jnp.ones((A, T + 1))
+        args = (times, seed_s, seed_d, obs_s, obs_d, jnp.asarray(half_l),
+                jnp.asarray(half_w), jnp.ones(A, bool))
+        from dftpav_tpu.ssc.voxel import build_corridor_voxel
+        ci = build_corridor(*args, M=5)
+        cv = build_corridor_voxel(*args, M=5)
+        return ci, cv
+
+    @staticmethod
+    def _cube_hits_box(c, m, s_lo, s_hi, d_lo, d_hi):
+        return (float(c.s_ub[m]) > s_lo and float(c.s_lb[m]) < s_hi
+                and float(c.d_ub[m]) > d_lo and float(c.d_lb[m]) < d_hi)
+
+    def test_free_road_inflates_wide(self):
+        from dftpav_tpu.ssc.voxel import build_corridor_voxel, VoxelConfig
+        T = 20
+        times = jnp.linspace(0.0, 4.0, T + 1)
+        corr = build_corridor_voxel(times, 8.0 * times, jnp.zeros(T + 1),
+                                    jnp.zeros((1, T + 1)) + 500.0,
+                                    jnp.zeros((1, T + 1)),
+                                    jnp.array([2.44]), jnp.array([0.95]),
+                                    jnp.array([False]), M=5)
+        cfg = VoxelConfig()
+        assert bool(corr.seed_free)
+        # no obstacle: every cube reaches the grid edges
+        assert float(corr.d_ub.min()) > 5.0
+        assert float(corr.d_lb.max()) < -5.0
+
+    def test_corner_obstacle_interval_collides_voxel_excludes(self):
+        """A diagonally-offset obstacle overlapping the seed's s-range but
+        only brushing it laterally: interval classification (fully left /
+        fully right, ssc/corridor.py:90-93) cannot clip it and emits a
+        colliding cube; the voxel grid blocks the inflation exactly."""
+        ci, cv = self._layout([12.0], [1.5], [2.0], [1.0])
+        # raw obstacle box: s [10, 14], d [0.5, 2.5]
+        assert self._cube_hits_box(ci, 1, 10.0, 14.0, 0.5, 2.5)
+        assert not self._cube_hits_box(cv, 1, 10.0, 14.0, 0.5, 2.5)
+
+    def test_narrow_slot_interval_infeasible_voxel_passes(self):
+        """Two flanking obstacles leave a drivable slot (raw edges at
+        d = +-1.0): the interval method's fixed margins classify the seed
+        region occupied and reject the corridor, while the voxel grid's
+        exact footprint dilation threads the slot."""
+        ci, cv = self._layout([12.0, 12.0], [2.9, -2.9], [4.0, 4.0],
+                              [1.9, 1.9])
+        assert not bool(ci.seed_free)      # interval: rejected
+        assert bool(cv.seed_free)          # voxel: drivable
+        # the voxel slot stays inside the obstacles' raw edges and is open
+        assert 0.1 < float(cv.d_ub[1]) <= 1.0 + 1e-6
+        assert -1.0 - 1e-6 <= float(cv.d_lb[1]) < -0.1
+
+    def test_planner_voxel_backend(self):
+        """ssc_plan runs end-to-end with corridor_backend='voxel'."""
+        import jax
+        from dftpav_tpu.ssc.planner import SSCConfig, ssc_plan
+        lane = straight_lane()
+        T = 20
+        times = np.linspace(0.0, 4.0, T + 1)
+        ego = jnp.array([0.0, 0.0, 0.0, 8.0, 0.0, 0.0])
+        fwd = jnp.stack([8.0 * jnp.asarray(times), jnp.zeros(T + 1),
+                         jnp.zeros(T + 1), 8.0 * jnp.ones(T + 1),
+                         jnp.zeros(T + 1), jnp.zeros(T + 1)], axis=1)
+        obs = jnp.zeros((1, T + 1, 6)).at[:, :, 0].set(500.0)
+        cfg = SSCConfig(corridor_backend="voxel")
+        res = jax.jit(lambda e, f, o: ssc_plan(
+            lane, e, f, times, o, jnp.array([False]), jnp.array([2.44]),
+            jnp.array([0.95]), cfg))(ego, fwd, obs)
+        assert bool(res.feasible)
+        # spline tracks the seed closely on a free road
+        s_mid = float(res.spline.ctrl[0, 2].mean())
+        assert abs(s_mid - 20.0) < 4.0
 
 
 class TestSSCPlan:
