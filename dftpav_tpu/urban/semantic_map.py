@@ -82,6 +82,66 @@ def occupied_at(spec: GridSpec, grid, pos):
     return jnp.where(inb, grid[i, j], False)
 
 
+# ---------------------------------------------------------------------------
+# Occlusion-aware sensing (the "fake mapper")
+# ---------------------------------------------------------------------------
+
+def visibility_mask(spec: GridSpec, grid, ego_pos, n_samples: int = 128):
+    """[H, W] bool: cell is line-of-sight visible from the ego position.
+
+    Reference: DataRenderer::RayCastingOnObstacleMap + roguelike octant
+    rasterization (data_renderer.cc:264-293, roguelike_ray_casting.h): rays
+    from the ego geometric center mark cells up to and including the first
+    occupied cell; everything behind is occluded.
+
+    TPU-native: instead of 8 sequential shadow-casting octants, every cell
+    IS a ray end point — n_samples points along each ego->cell segment are
+    gathered from the grid in one batched lookup, and a cell is visible iff
+    no *strictly earlier* sample is occupied. One [H, W, S] gather pass, no
+    recursion, no data-dependent shapes.
+    """
+    gx, gy = _cell_centers(spec)                       # [1, W], [H, 1]
+    cx = jnp.broadcast_to(gx, (spec.height, spec.width))
+    cy = jnp.broadcast_to(gy, (spec.height, spec.width))
+    dx = cx - ego_pos[0]
+    dy = cy - ego_pos[1]
+    dist = jnp.sqrt(dx * dx + dy * dy)
+    # sample fractions stop one cell short of the target so a cell does not
+    # occlude itself (the reference includes the first occupied cell as
+    # visible and shadows only cells BEHIND it)
+    t_hi = jnp.maximum(1.0 - spec.resolution / jnp.maximum(dist, 1e-6), 0.0)
+    ts = (jnp.arange(n_samples) + 0.5) / n_samples     # [S]
+    px = ego_pos[0] + dx[..., None] * ts * t_hi[..., None]   # [H, W, S]
+    py = ego_pos[1] + dy[..., None] * ts * t_hi[..., None]
+    blocked = occupied_at(spec, grid, jnp.stack([px, py], axis=-1))
+    return ~jnp.any(blocked, axis=-1)
+
+
+def fake_mapper(spec: GridSpec, grid, ego_pos, seen_prev=None,
+                dist_thres=None, n_samples: int = 128):
+    """Rendered (sensed) occupancy: what the ego can actually see.
+
+    Reference: DataRenderer::FakeMapper (data_renderer.cc:236-260): the
+    obstacle point set the planner consumes contains only ray-cast-visible
+    obstacle cells, unioned with previously-seen cells that are still within
+    `dist_thres` (Chebyshev) of the ego ("fill past obstacles and remove far
+    ones", :244-258).
+
+    grid: ground-truth occupancy [H, W]; seen_prev: last call's output (or
+    None on the first frame). Returns the sensed grid [H, W].
+    """
+    vis = visibility_mask(spec, grid, ego_pos, n_samples)
+    seen = grid & vis
+    if seen_prev is not None:
+        if dist_thres is None:
+            dist_thres = spec.height * spec.resolution / 2.0 * 0.8
+        gx, gy = _cell_centers(spec)
+        near = (jnp.abs(gx - ego_pos[0]) < dist_thres) \
+            & (jnp.abs(gy - ego_pos[1]) < dist_thres)
+        seen = seen | (seen_prev & near)
+    return seen
+
+
 def nearest_lane(lane_set: LaneSet, pos, heading, max_dist: float = 10.0,
                  heading_gate: float = 1.3):
     """Nearest lane id for a pose (GetNearestLaneIdUsingState,

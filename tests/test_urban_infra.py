@@ -96,6 +96,62 @@ class TestSemanticMap:
         assert not bool(semantic_map.occupied_at(spec, grid,
                                                  jnp.array([10.0, 12.0])))
 
+    def _occl_spec(self):
+        return semantic_map.GridSpec(origin=jnp.array([0.0, 0.0]),
+                                     resolution=0.5, height=64, width=64)
+
+    def test_occluded_obstacle_absent_until_occluder_moves(self):
+        """FakeMapper parity (data_renderer.cc:236-293): an obstacle hidden
+        behind an occluder is absent from the rendered grid; when the
+        occluder moves aside, the obstacle reappears."""
+        spec = self._occl_spec()
+        ego = jnp.array([4.0, 16.0])
+        target = jnp.array([[28.0, 16.0]])     # far obstacle on the ray
+        occluder = jnp.array([[14.0, 16.0]])   # between ego and target
+        moved = jnp.array([[14.0, 26.0]])      # occluder shifted aside
+
+        def render(occ_center):
+            grid = semantic_map.rasterize_circles(
+                spec, jnp.concatenate([target, occ_center]),
+                jnp.array([1.5, 1.5]), jnp.array([True, True]))
+            return semantic_map.fake_mapper(spec, grid, ego)
+
+        sensed0 = render(occluder)
+        # the occluder's ego-facing rim is visible, target is shadowed
+        assert bool(semantic_map.occupied_at(spec, sensed0,
+                                             jnp.array([12.8, 16.0])))
+        assert not bool(semantic_map.occupied_at(spec, sensed0,
+                                                 jnp.array([26.8, 16.0])))
+        sensed1 = render(moved)
+        assert bool(semantic_map.occupied_at(spec, sensed1,
+                                             jnp.array([26.8, 16.0])))
+
+    def test_fake_mapper_persists_seen_cells(self):
+        """Previously-seen obstacle cells persist while in range
+        (data_renderer.cc:244-258) and drop once the ego moves far away."""
+        spec = self._occl_spec()
+        target = jnp.array([[28.0, 16.0]])
+        grid = semantic_map.rasterize_circles(
+            spec, target, jnp.array([1.5]), jnp.array([True]))
+        ego0 = jnp.array([4.0, 16.0])
+        seen0 = semantic_map.fake_mapper(spec, grid, ego0)
+        assert bool(semantic_map.occupied_at(spec, seen0,
+                                             jnp.array([26.8, 16.0])))
+        # obstacle now occluded by a new occluder, but memory keeps it
+        grid2 = semantic_map.rasterize_circles(
+            spec, jnp.concatenate([target, jnp.array([[14.0, 16.0]])]),
+            jnp.array([1.5, 1.5]), jnp.array([True, True]))
+        seen1 = semantic_map.fake_mapper(spec, grid2, ego0, seen_prev=seen0,
+                                         dist_thres=30.0)
+        assert bool(semantic_map.occupied_at(spec, seen1,
+                                             jnp.array([26.8, 16.0])))
+        # far-away ego: remembered cells outside dist_thres are dropped
+        ego_far = jnp.array([300.0, 300.0])
+        seen2 = semantic_map.fake_mapper(spec, jnp.zeros_like(grid), ego_far,
+                                         seen_prev=seen1, dist_thres=10.0)
+        assert not bool(semantic_map.occupied_at(spec, seen2,
+                                                 jnp.array([26.8, 16.0])))
+
     def test_openloop_prediction_shape(self):
         ls = lane_mod.build_lane_set([lane_at(0.0), lane_at(3.5)],
                                      [1, -1], [-1, 0])
