@@ -166,6 +166,10 @@ def prep_scenario(batch, dims: Dims, dtype=jnp.float32) -> KScenario:
         bnd = bnd.at[6 + 2 * c + 1].set(tail[:, 1, c])
 
     O = dims.O
+    # misc slab layout is 1 + 3*O rows (singul | obs_dt[O] | obs_rel_t0[O]
+    # | obs_mask[O]); larger O needs a taller slab or the .at[] writes
+    # silently drop under jit
+    assert 1 + 3 * O <= 8, f"misc slab holds O <= 2 obstacles, got O={O}"
     misc = jnp.zeros((8, B), dtype)
     misc = misc.at[0].set(f(batch.singul[:, 0]))
     for o in range(O):

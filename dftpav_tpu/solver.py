@@ -129,9 +129,38 @@ def make_solver(cfg: PlannerConfig, dims: Dims,
                 engine: str = "bminor"):
     """Build a batched solver: (Scenario with leading [B] axis, Weights) -> SolveResult.
 
-    engine="bminor" (default) uses the TPU-optimized batch-minor path;
-    engine="vmap" uses the readable reference path (identical math).
+    Engines (all the same math; see PERF.md for hardware numbers):
+      "bminor" (default): batch-minor layout, nested iteration/line-search
+          loops; supports any S and traced weights.
+      "rounds": asynchronous-lane round loop (ops/pallas_solve) as plain
+          XLA — each round advances every active lane by one objective
+          evaluation, so the batch pays mean (not max) line-search trials.
+          S == 1 class.
+      "fused": the whole-solve Pallas kernel (one VMEM-resident program per
+          128-lane tile). Weights are baked in at compile time (retraces
+          per distinct weight set). S == 1 class.
+      "vmap": the readable per-scenario reference path.
     """
+    if engine != "vmap" and getattr(cfg.opt, "ref_gradient_compat", False):
+        raise ValueError(
+            "ref_gradient_compat (the reference's cross-segment time-grad "
+            "quirk) is implemented only by the per-scenario engine; use "
+            "make_solver(..., engine='vmap')")
+    if engine == "fused":
+        from dftpav_tpu.ops.pallas_solve import solve_batch_fused
+        import numpy as _np
+        compiled = {}
+
+        def fused(batch, w):
+            key = tuple(float(_np.asarray(v)) for v in w)
+            if key not in compiled:
+                wk = w
+                compiled[key] = jax.jit(lambda b: solve_batch_fused(
+                    b, wk, dims=dims, cfg=cfg,
+                    max_iterations=max_iterations))
+            return compiled[key](batch)
+
+        return fused
     if engine == "rounds":
         from dftpav_tpu.ops.pallas_solve import solve_batch_rounds
         fn = functools.partial(solve_batch_rounds, dims=dims, cfg=cfg,

@@ -117,16 +117,25 @@ def sample_segment_positions(coeffs_seg, dT, n_samples: int = 200):
 
 
 def ensure_oracle_built() -> bool:
-    """Build the oracle if missing; returns False when the toolchain or the
-    reference tree is unavailable (callers should skip)."""
-    if ORACLE_BIN.exists():
-        return True
+    """Build the oracle if missing or stale; returns False when the
+    toolchain or the reference tree is unavailable (callers should skip).
+
+    Staleness: the binary is rebuilt whenever oracle_main.cpp, build.sh, or
+    any stub header is newer than it (the binary is NOT committed —
+    golden/build/ is gitignored — so parity always runs against the current
+    harness + reference source on this machine's toolchain)."""
     ref = Path("/root/reference/src/Plan/traj_planner/src/traj_optimizer.cpp")
     if not ref.exists():
-        return False
+        return ORACLE_BIN.exists()
+    if ORACLE_BIN.exists():
+        bin_mtime = ORACLE_BIN.stat().st_mtime
+        srcs = [GOLDEN_DIR / "oracle_main.cpp", GOLDEN_DIR / "build.sh", ref]
+        srcs += list((GOLDEN_DIR / "stubs").rglob("*.h"))
+        if all(s.stat().st_mtime <= bin_mtime for s in srcs):
+            return True
     try:
         subprocess.run(["bash", str(GOLDEN_DIR / "build.sh")],
                        capture_output=True, text=True, timeout=600, check=True)
     except (subprocess.SubprocessError, FileNotFoundError):
-        return False
+        return ORACLE_BIN.exists()
     return ORACLE_BIN.exists()
