@@ -44,7 +44,6 @@ from jax.experimental.pallas import tpu as pltpu
 from dftpav_tpu.config import LBFGSParams, PlannerConfig
 from dftpav_tpu.lbfgs import Status
 from dftpav_tpu.ops import bcost, kcost
-from dftpav_tpu.ops.blbfgs import _two_loop
 from dftpav_tpu.ops.kcost import DP, KConsts, KScenario, StaticW
 from dftpav_tpu.types import Dims, Scenario, SolveResult, Weights
 
@@ -60,12 +59,16 @@ class _Carry(NamedTuple):
     dstest: jnp.ndarray
     mu: jnp.ndarray       # [TB] bracketing state
     nu: jnp.ndarray
-    brackt: jnp.ndarray   # [TB] bool
-    touched: jnp.ndarray  # [TB] bool
+    brackt: jnp.ndarray   # [TB] float 0/1 mask (bool lanes in the carry
+    touched: jnp.ndarray  # [TB] float 0/1 mask  lower to an i8->i1 vector
+                          #     truncation Mosaic rejects)
     lscnt: jnp.ndarray    # [TB] i32
-    lm_s: jnp.ndarray     # [m, DP, TB] newest-first history
-    lm_y: jnp.ndarray
-    lm_ys: jnp.ndarray    # [m, TB]
+    # newest-first history as TUPLES of [DP, TB] / [TB] arrays: slicing a
+    # stacked [m, DP, TB] gives offset layouts Mosaic cannot reduce over
+    # ("input layout must have zero offsets over dimensions being reduced")
+    lm_s: tuple           # m x [DP, TB]
+    lm_y: tuple           # m x [DP, TB]
+    lm_ys: tuple          # m x [TB]
     bound: jnp.ndarray    # [TB] i32
     k: jnp.ndarray        # [TB] i32 iteration counter
     pf: jnp.ndarray       # [past, TB]
@@ -75,6 +78,25 @@ class _Carry(NamedTuple):
 
 def _dot(a, b):
     return jnp.sum(a * b, axis=0)
+
+
+def _two_loop_t(g, lm_s, lm_y, lm_ys, bound, ys, yy):
+    """blbfgs._two_loop over tuple-form history (identical math; tuple
+    elements are full arrays, so every reduction sees a zero-offset
+    layout Mosaic accepts)."""
+    m = len(lm_s)
+    d = -g
+    alphas = []
+    for i in range(m):
+        live = i < bound                                   # [TB]
+        a = jnp.where(live, _dot(lm_s[i], d) / lm_ys[i], 0.0)
+        d = d - a * lm_y[i]
+        alphas.append(a)
+    d = d * (ys / yy)
+    for i in range(m - 1, -1, -1):
+        b = jnp.where(i < bound, _dot(lm_y[i], d) / lm_ys[i], 0.0)
+        d = d + (alphas[i] - b) * lm_s[i]
+    return d
 
 
 def _solve_rounds(x0, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
@@ -102,10 +124,11 @@ def _solve_rounds(x0, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
         finit=f0, dgtest=p.f_dec_coeff * dginit0,
         dstest=p.s_curv_coeff * dginit0,
         mu=jnp.zeros((TB,), dtype), nu=jnp.full((TB,), p.max_step, dtype),
-        brackt=jnp.zeros((TB,), bool), touched=jnp.zeros((TB,), bool),
+        brackt=jnp.zeros((TB,), dtype), touched=jnp.zeros((TB,), dtype),
         lscnt=jnp.zeros((TB,), i32),
-        lm_s=jnp.zeros((m, DP, TB), dtype), lm_y=jnp.zeros((m, DP, TB), dtype),
-        lm_ys=jnp.ones((m, TB), dtype),
+        lm_s=tuple(jnp.zeros((DP, TB), dtype) for _ in range(m)),
+        lm_y=tuple(jnp.zeros((DP, TB), dtype) for _ in range(m)),
+        lm_ys=tuple(jnp.ones((TB,), dtype) for _ in range(m)),
         bound=jnp.zeros((TB,), i32), k=jnp.ones((TB,), i32),
         pf=jnp.concatenate([f0[None], jnp.zeros((past - 1, TB), dtype)])
         if past > 1 else f0[None],
@@ -128,8 +151,9 @@ def _solve_rounds(x0, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
         # --- Lewis-Overton decision (lbfgs.hpp:276-389, as in blbfgs) ---
         dg = _dot(g_try, c.d)
         bad = ~jnp.isfinite(f_try)
-        early = (jnp.abs(c.finit - f_try) / (jnp.abs(c.finit) + 1.0)
-                 < p.delta / past)
+        early = ((p.past > 0)
+                 & (jnp.abs(c.finit - f_try) / (jnp.abs(c.finit) + 1.0)
+                    < p.delta / past))
         armijo_fail = bad | (f_try > c.finit + c.stp * c.dgtest)
         wolfe_fail = dg < c.dstest
         accept = act & ((early & ~bad) | (~armijo_fail & ~wolfe_fail))
@@ -137,21 +161,21 @@ def _solve_rounds(x0, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
 
         # --- bracket/step update for continuing lanes ---
         nu = jnp.where(cont & armijo_fail, c.stp, c.nu)
-        brackt = c.brackt | (cont & armijo_fail)
+        brackt_b = (c.brackt > 0.5) | (cont & armijo_fail)
         mu = jnp.where(cont & ~armijo_fail & wolfe_fail, c.stp, c.mu)
         lscnt = c.lscnt + cont.astype(i32)
         code = jnp.zeros((TB,), i32)
         code = jnp.where(cont & (lscnt >= p.max_linesearch), 2, code)
-        code = jnp.where(cont & (code == 0) & brackt
+        code = jnp.where(cont & (code == 0) & brackt_b
                          & ((nu - mu) < p.machine_prec * nu),
                          Status.ERR_WIDTHTOOSMALL, code)
-        stp_n = jnp.where(brackt, 0.5 * (mu + nu), c.stp * 2.0)
+        stp_n = jnp.where(brackt_b, 0.5 * (mu + nu), c.stp * 2.0)
         code = jnp.where(cont & (code == 0) & (stp_n < p.min_step),
                          Status.ERR_MINSTEP, code)
         over = stp_n > p.max_step
-        code = jnp.where(cont & (code == 0) & over & c.touched,
+        code = jnp.where(cont & (code == 0) & over & (c.touched > 0.5),
                          Status.ERR_MAXSTEP, code)
-        touched = c.touched | (cont & over)
+        touched_b = (c.touched > 0.5) | (cont & over)
         stp_n = jnp.where(over, jnp.asarray(p.max_step, dtype), stp_n)
         ls_fail = cont & (code != 0)
         status = jnp.where(ls_fail,
@@ -163,15 +187,18 @@ def _solve_rounds(x0, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
         conv = gnorm / jnp.maximum(1.0, xnorm) < p.g_epsilon
         status = jnp.where(accept & conv, Status.CONVERGENCE, status)
 
-        slot = jnp.mod(c.k, past)
-        onehot = onehot_rows == slot[None]
-        pf_slot = jnp.sum(jnp.where(onehot, c.pf, 0.0), axis=0)
-        rate = jnp.abs(pf_slot - f_try) / jnp.maximum(1.0, jnp.abs(f_try))
-        stop = (c.k >= past) & (rate < p.delta)
-        status = jnp.where(accept & (status == Status.RUNNING) & stop,
-                           Status.STOP, status)
-        newpf = jnp.where(status == Status.RUNNING, f_try, pf_slot)
-        pf = jnp.where(onehot & accept[None], newpf[None], c.pf)
+        if p.past > 0:
+            slot = jnp.mod(c.k, past)
+            onehot = onehot_rows == slot[None]
+            pf_slot = jnp.sum(jnp.where(onehot, c.pf, 0.0), axis=0)
+            rate = jnp.abs(pf_slot - f_try) / jnp.maximum(1.0, jnp.abs(f_try))
+            stop = (c.k >= past) & (rate < p.delta)
+            status = jnp.where(accept & (status == Status.RUNNING) & stop,
+                               Status.STOP, status)
+            newpf = jnp.where(status == Status.RUNNING, f_try, pf_slot)
+            pf = jnp.where(onehot & accept[None], newpf[None], c.pf)
+        else:
+            pf = c.pf
         status = jnp.where(accept & (status == Status.RUNNING)
                            & (c.k >= max_iter), Status.MAXITER, status)
         k = jnp.where(accept & (status == Status.RUNNING), c.k + 1, c.k)
@@ -183,15 +210,15 @@ def _solve_rounds(x0, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
         yy = _dot(y, y)
         cau = _dot(s, s) * jnp.sqrt(_dot(c.gp, c.gp)) * p.cautious_factor
         do_up = accept & (status == Status.RUNNING) & (ys > cau)
-        lm_s = jnp.where(do_up, jnp.concatenate([s[None], c.lm_s[:-1]]),
-                         c.lm_s)
-        lm_y = jnp.where(do_up, jnp.concatenate([y[None], c.lm_y[:-1]]),
-                         c.lm_y)
-        lm_ys = jnp.where(do_up, jnp.concatenate([ys[None], c.lm_ys[:-1]]),
-                          c.lm_ys)
+        lm_s = tuple(jnp.where(do_up, new, old) for new, old
+                     in zip((s,) + c.lm_s[:-1], c.lm_s))
+        lm_y = tuple(jnp.where(do_up, new, old) for new, old
+                     in zip((y,) + c.lm_y[:-1], c.lm_y))
+        lm_ys = tuple(jnp.where(do_up, new, old) for new, old
+                      in zip((ys,) + c.lm_ys[:-1], c.lm_ys))
         bound = jnp.where(do_up, jnp.minimum(c.bound + 1, m), c.bound)
-        d_new = _two_loop(g_try, lm_s, lm_y, lm_ys, bound, ys,
-                          jnp.maximum(yy, 1e-30))
+        d_new = _two_loop_t(g_try, lm_s, lm_y, lm_ys, bound, ys,
+                            jnp.maximum(yy, 1e-30))
         d_next = jnp.where(do_up, d_new, -g_try)
         d = jnp.where(accept[None], d_next, c.d)
 
@@ -205,8 +232,8 @@ def _solve_rounds(x0, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
         dstest = jnp.where(accept, p.s_curv_coeff * dginit, c.dstest)
         mu = jnp.where(accept, 0.0, mu)
         nu = jnp.where(accept, jnp.asarray(p.max_step, dtype), nu)
-        brackt = jnp.where(accept, False, brackt)
-        touched = jnp.where(accept, False, touched)
+        brackt = (brackt_b & ~accept).astype(dtype)
+        touched = (touched_b & ~accept).astype(dtype)
         lscnt = jnp.where(accept, 0, lscnt)
         stp = jnp.where(accept, 1.0, jnp.where(cont, stp_n, c.stp))
 
