@@ -20,6 +20,14 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
+# NOTE on compile times: JAX's persistent compilation cache can be forced
+# on for the axon relay (utils/cache.enable_persistent_cache) and WRITES
+# work, but executable deserialization on the read path hangs the relay
+# indefinitely (measured twice, 500 s+), so it stays off here and every
+# bench process pays the remote compile. Local chipless AOT compiles the
+# same program in ~55 s (tools/aot_fused.py) — the wall is the relay's
+# remote-compile service, not XLA/Mosaic.
+
 BASELINE_SOLVES_PER_S = 100.0
 
 
@@ -60,6 +68,12 @@ def main():
     source = os.environ.get("BENCH_SOURCE", "both")
     if "--source" in _sys.argv:
         source = _sys.argv[_sys.argv.index("--source") + 1]
+    # headline engine: the whole-solve Pallas kernel (hardware-proven
+    # 2,985 solves/s at B=1024/150 iters, success 1.0, cost p50 within 2%
+    # of bminor — see PERF.md); override with BENCH_ENGINE / --engine
+    engine = os.environ.get("BENCH_ENGINE", "fused")
+    if "--engine" in _sys.argv:
+        engine = _sys.argv[_sys.argv.index("--engine") + 1]
 
     if source == "frontend":
         scens = _frontend_batch_cached(dims, B, seed=7)
@@ -67,7 +81,8 @@ def main():
         scens = scenarios.batch_scenarios(dims, B, seed=7, dtype=np.float32,
                                           n_obstacles=2)
     w = weights_from_config(cfg.opt, dtype=jnp.float32)
-    solve = solver.make_solver(cfg, dims, max_iterations=max_iter)
+    solve = solver.make_solver(cfg, dims, max_iterations=max_iter,
+                               engine=engine)
     batch = jax.tree.map(jnp.asarray, scens)
 
     t0 = time.time()
@@ -120,6 +135,32 @@ def main():
             "frontend_iters_p50": int(np.median(np.asarray(res_f.n_iters))),
         }
 
+    # multi-gear (S=2 reverse-park class) throughput from real front-end
+    # geometry — the reference's flagship workload (traj_manager.cpp:160-238
+    # parking = gear reversals); rounds engine (fused kernel weights are
+    # per-class; rounds shares its math)
+    multigear_fields = {}
+    if os.environ.get("BENCH_MULTIGEAR", "1") == "1" and source != "frontend":
+        dims2 = Dims(S=2, N=8, K=16, Kdes=32, H=4, O=2, Po=8)
+        B2 = min(B, 512)
+        fb2 = jax.tree.map(jnp.asarray,
+                           _frontend_batch_cached(dims2, B2, seed=11))
+        solve2 = solver.make_solver(cfg, dims2, max_iterations=max_iter,
+                                    engine="rounds")
+        res2 = solve2(fb2, w)
+        _ = np.asarray(res2.cost)
+        t2 = time.time()
+        res2 = solve2(fb2, w)
+        cost2 = np.asarray(res2.cost)
+        wall2 = time.time() - t2
+        multigear_fields = {
+            "multigear_solves_per_s": round(B2 / wall2, 1),
+            "multigear_success_rate": round(float(np.asarray(
+                res2.success.astype(jnp.int32)).mean()), 4),
+            "multigear_cost_p50": round(float(np.nanmedian(cost2)), 1),
+            "multigear_batch": B2,
+        }
+
     print(json.dumps({
         "metric": "traj_optimizations_per_s_per_chip",
         "value": round(solves_per_s, 1),
@@ -134,8 +175,10 @@ def main():
         "warm_success_rate": round(float(succ_w.mean()), 4),
         "warm_cost_p50": round(float(np.nanmedian(cost_w)), 1),
         "compile_s": round(compile_s, 1),
+        "engine": engine,
         "source": source,
         **frontend_fields,
+        **multigear_fields,
         "device": str(jax.devices()[0]),
     }))
 

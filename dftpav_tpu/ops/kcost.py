@@ -22,8 +22,10 @@ TPU kernel:
     limits change, which matches how configs are deployed (one weight set per
     fleet), and removes every scalar operand from the hot loop.
 
-Supports S == 1 (the bench/replan class); multi-gear batches keep the
-ops/bcost engine.
+Supports any S: multi-gear segments are a static Python loop over the same
+[R, TB] machinery, with gear-junction boundary overrides read from the
+decision vector exactly as cost.boundary_states does
+(costFunctionCallback:269-282).
 """
 
 from __future__ import annotations
@@ -41,7 +43,36 @@ from dftpav_tpu.basis import sample_grid
 from dftpav_tpu.cost import hull_arrays, smoothed_l1, virtual_to_real
 from dftpav_tpu.types import Dims
 
-DP = 16  # padded decision-variable rows (D = 2*(N-1)+1 = 15 for S=1, N=8)
+DP = 16  # padded decision rows for the S=1 bench class (D = 15 at N=8)
+
+
+def _pad8(n: int) -> int:
+    return ((n + 7) // 8) * 8
+
+
+def chunk_rows(R: int) -> int:
+    """Largest 8-aligned chunk size (<= 32 rows) dividing the sample axis;
+    the penalty integrator scans over chunks of this many rows (see
+    eval_cost)."""
+    for ch in (32, 24, 16, 8):
+        if R % ch == 0:
+            return ch
+    return R
+
+
+def dp_of(dims: Dims) -> int:
+    """Padded decision-variable rows (sublane multiple of 8)."""
+    return max(_pad8(dims.dim), 16)
+
+
+def bnd_rows(dims: Dims) -> int:
+    """Padded boundary-slab rows: 12 per segment (6 head + 6 tail)."""
+    return _pad8(12 * dims.S)
+
+
+def misc_rows(dims: Dims) -> int:
+    """singul[S] | seg_mask[S] | obs_dt[O] | obs_rel_t0[O] | obs_mask[O]."""
+    return _pad8(2 * dims.S + 3 * dims.O)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,6 +90,7 @@ class StaticW:
     max_backward_acc: float
     max_backward_cur: float
     surround_clearance: float
+    non_sinv: float
     mini_t: float
     epis: float
     lse_alpha: float
@@ -86,6 +118,7 @@ class StaticW:
             max_backward_acc=f(w.max_backward_acc),
             max_backward_cur=f(w.max_backward_cur),
             surround_clearance=f(w.surround_clearance),
+            non_sinv=f(w.non_sinv),
             mini_t=f(w.mini_t), epis=f(w.epis), lse_alpha=f(w.lse_alpha),
             cost_scale=float(cfg.opt.cost_scale), veh_len=float(veh_len),
             le=tuple((float(a), float(b)) for a, b in le_np),
@@ -102,13 +135,17 @@ class KConsts(NamedTuple):
 
 
 class KScenario(NamedTuple):
-    """Per-lane problem slabs, lane axis minor (S=1)."""
+    """Per-lane problem slabs, lane axis minor.
 
-    bnd: jnp.ndarray      # [16, B] rows 0-5 head (px py vx vy ax ay), 6-11 tail
-    misc: jnp.ndarray     # [8, B] rows: singul, obs_dt[O], obs_rel_t0[O], obs_mask[O]
-    corr_n: jnp.ndarray   # [H, 2, R, B]
-    corr_p: jnp.ndarray   # [H, 2, R, B]
-    corr_m: jnp.ndarray   # [H, R, B] float
+    Segment axes are flattened: bnd packs 12 rows per segment (6 head then
+    6 tail, px py vx vy ax ay interleaved x/y); the corridor slabs carry
+    S*R sample rows (segment-major)."""
+
+    bnd: jnp.ndarray      # [bnd_rows(dims), B]
+    misc: jnp.ndarray     # [misc_rows(dims), B] singul[S] | seg_mask[S] | obs*
+    corr_n: jnp.ndarray   # [H, 2, S*R, B]
+    corr_p: jnp.ndarray   # [H, 2, S*R, B]
+    corr_m: jnp.ndarray   # [H, S*R, B] float
     obs_c: jnp.ndarray    # [O, 2, 6*Po, B] normalized coeffs, row 6*p + c
 
 
@@ -149,40 +186,40 @@ def make_consts(dims: Dims, dtype=jnp.float32) -> KConsts:
 
 
 def prep_scenario(batch, dims: Dims, dtype=jnp.float32) -> KScenario:
-    """Batch-major Scenario (leading [B], S=1) -> kernel slabs (lane minor)."""
-    assert dims.S == 1, "fused kernel covers the single-gear class"
+    """Batch-major Scenario (leading [B]) -> kernel slabs (lane minor)."""
     B = batch.ini_state.shape[0]
-    K1 = dims.K1
+    S, K1 = dims.S, dims.K1
     R = dims.N * K1
     f = lambda a: jnp.asarray(a, dtype)
 
-    head = f(batch.ini_state[:, 0])                     # [B, 2, 3]
-    tail = f(batch.fin_state[:, 0])
-    bnd = jnp.zeros((DP, B), dtype)
-    for c in range(3):
-        bnd = bnd.at[2 * c].set(head[:, 0, c])
-        bnd = bnd.at[2 * c + 1].set(head[:, 1, c])
-        bnd = bnd.at[6 + 2 * c].set(tail[:, 0, c])
-        bnd = bnd.at[6 + 2 * c + 1].set(tail[:, 1, c])
+    bnd = jnp.zeros((bnd_rows(dims), B), dtype)
+    for s in range(S):
+        head = f(batch.ini_state[:, s])                 # [B, 2, 3]
+        tail = f(batch.fin_state[:, s])
+        base = 12 * s
+        for c in range(3):
+            bnd = bnd.at[base + 2 * c].set(head[:, 0, c])
+            bnd = bnd.at[base + 2 * c + 1].set(head[:, 1, c])
+            bnd = bnd.at[base + 6 + 2 * c].set(tail[:, 0, c])
+            bnd = bnd.at[base + 6 + 2 * c + 1].set(tail[:, 1, c])
 
     O = dims.O
-    # misc slab layout is 1 + 3*O rows (singul | obs_dt[O] | obs_rel_t0[O]
-    # | obs_mask[O]); larger O needs a taller slab or the .at[] writes
-    # silently drop under jit
-    assert 1 + 3 * O <= 8, f"misc slab holds O <= 2 obstacles, got O={O}"
-    misc = jnp.zeros((8, B), dtype)
-    misc = misc.at[0].set(f(batch.singul[:, 0]))
+    misc = jnp.zeros((misc_rows(dims), B), dtype)
+    for s in range(S):
+        misc = misc.at[s].set(f(batch.singul[:, s]))
+        misc = misc.at[S + s].set(f(batch.seg_mask[:, s]))
+    ob = 2 * S
     for o in range(O):
-        misc = misc.at[1 + o].set(f(batch.obs_dt[:, o]))
-        misc = misc.at[1 + O + o].set(f(batch.obs_rel_t0[:, o]))
-        misc = misc.at[1 + 2 * O + o].set(f(batch.obs_mask[:, o]))
+        misc = misc.at[ob + o].set(f(batch.obs_dt[:, o]))
+        misc = misc.at[ob + O + o].set(f(batch.obs_rel_t0[:, o]))
+        misc = misc.at[ob + 2 * O + o].set(f(batch.obs_mask[:, o]))
 
-    # [B, R, H, 2] -> [H, 2, R, B]
-    cn = jnp.transpose(f(batch.corr_n[:, 0]).reshape(B, R, dims.H, 2),
+    # [B, S, R, H, 2] -> [H, 2, S*R, B]
+    cn = jnp.transpose(f(batch.corr_n).reshape(B, S * R, dims.H, 2),
                        (2, 3, 1, 0))
-    cp = jnp.transpose(f(batch.corr_p[:, 0]).reshape(B, R, dims.H, 2),
+    cp = jnp.transpose(f(batch.corr_p).reshape(B, S * R, dims.H, 2),
                        (2, 3, 1, 0))
-    cm = jnp.transpose(f(batch.corr_mask[:, 0]).reshape(B, R, dims.H),
+    cm = jnp.transpose(f(batch.corr_mask).reshape(B, S * R, dims.H),
                        (2, 1, 0))
     if O > 0:
         obs = f(batch.obs_coef)                         # [B, O, Po, 6, 2]
@@ -222,212 +259,441 @@ def _pos_lse_over(vals, alpha):
     return (jnp.log(s) + m) / alpha
 
 
-def eval_cost(x, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims):
-    """Scaled objective per lane: x [DP, TB] -> f [TB].
 
-    Pure jnp on values — identical trace inside the Pallas kernel and in
-    plain XLA (used by tests for parity against ops/bcost).
+
+def _ckpt(f):
+    """Rematerializing wrapper: save only the inputs in the forward pass and
+    recompute `f` inside the backward (jax.checkpoint semantics). Written as
+    a custom_vjp because jax.checkpoint introduces a `remat2` primitive the
+    Pallas TPU lowering cannot handle; custom_vjp inlines to plain ops."""
+
+    @jax.custom_vjp
+    def g(*args):
+        return f(*args)
+
+    def fwd(*args):
+        return f(*args), args
+
+    def bwd(args, ct):
+        _, vjp = jax.vjp(f, *args)
+        return vjp(ct)
+
+    g.defvjp(fwd, bwd)
+    return g
+
+
+def _dotc(A, Bm, dtype):
+    return jax.lax.dot_general(A, Bm, (((1,), (0,)), ((), ())),
+                               preferred_element_type=dtype)
+
+
+def _pre(x, sc: KScenario, sw: StaticW, dims: Dims):
+    """Decision vector -> per-segment solver inputs.
+
+    Returns (rhs_x, rhs_y, dT, tt, T): tuples of S arrays ([13, TB] rhs per
+    dimension with gear-junction overrides, per-piece duration, cumulative
+    absolute-time offset, total segment duration). Differentiable; the
+    chunked integrator's cotangents flow back through ONE jax.vjp of this.
     """
-    N, K1, H, O, Po = dims.N, dims.K1, dims.H, dims.O, dims.Po
-    R = N * K1
+    S, N = dims.S, dims.N
     dtype = x.dtype
-    n_in = 2 * (N - 1)
+    n_in = 2 * S * (N - 1)
 
-    vt = x[n_in]                                         # [TB]
-    T = virtual_to_real(vt, sw.mini_t)
-    dT = T / N
-    dT2 = dT * dT
-    invdT = 1.0 / dT
+    # Route every decision-variable read through an identity matmul: the
+    # VJP of direct row slices (x[i]) accumulates the gradient through
+    # pad/scatter transposes whose offset layouts Mosaic cannot ADD-reduce
+    # over ("input layout must have zero offsets over dimensions being
+    # reduced"); with the copy, the gradient materializes as ident^T @ cot
+    # — a matmul output with a standard zero-offset layout.
+    dp = x.shape[0]
+    ident = (jax.lax.broadcasted_iota(jnp.int32, (dp, dp), 0)
+             == jax.lax.broadcasted_iota(jnp.int32, (dp, dp), 1)
+             ).astype(dtype)
+    x = _dotc(ident, x, dtype)
 
-    # rhs per dimension [13, TB]: scaled head PVA | inner | scaled tail PVA
-    def rhs_dim(d):
-        rows = [sc.bnd[d], sc.bnd[2 + d] * dT, sc.bnd[4 + d] * dT2]
-        rows += [x[2 * j + d] for j in range(N - 1)]
-        rows += [sc.bnd[6 + d], sc.bnd[8 + d] * dT, sc.bnd[10 + d] * dT2]
-        return jnp.stack(rows)
+    vt = [x[n_in + s] for s in range(S)]                 # S x [TB]
+    T = [virtual_to_real(v, sw.mini_t) for v in vt]
+    gp_row = lambda j, d: n_in + S + 2 * j + d
+    ga = [x[n_in + S + 2 * (S - 1) + j] for j in range(S - 1)]
+    jm = [sc.misc[S + s] > 0.5 for s in range(S)]        # seg_mask as bool
 
-    rhs_x, rhs_y = rhs_dim(0), rhs_dim(1)
+    rhs_x, rhs_y, dTs, tts = [], [], [], []
+    trajtime = jnp.zeros_like(T[0])
+    for seg in range(S):
+        dT = T[seg] / N
+        dT2 = dT * dT
+        base = 12 * seg
 
-    def dotc(A, Bm):
-        return jax.lax.dot_general(A, Bm, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=dtype)
+        # rhs per dimension [13, TB]: scaled head PVA | inner | scaled tail
+        # PVA, with junction overrides (pos/vel from the gear variables,
+        # cost.boundary_states semantics / costFunctionCallback:269-282)
+        def rhs_dim(d):
+            hp, hv, ha = sc.bnd[base + d], sc.bnd[base + 2 + d], \
+                sc.bnd[base + 4 + d]
+            tp, tv, ta = sc.bnd[base + 6 + d], sc.bnd[base + 8 + d], \
+                sc.bnd[base + 10 + d]
+            if seg > 0:
+                j = seg - 1
+                gdir = jnp.cos(ga[j]) if d == 0 else jnp.sin(ga[j])
+                hp = jnp.where(jm[seg], x[gp_row(j, d)], hp)
+                hv = jnp.where(jm[seg], -sw.non_sinv * gdir, hv)
+            if seg < S - 1:
+                j = seg
+                gdir = jnp.cos(ga[j]) if d == 0 else jnp.sin(ga[j])
+                tp = jnp.where(jm[seg + 1], x[gp_row(j, d)], tp)
+                tv = jnp.where(jm[seg + 1], sw.non_sinv * gdir, tv)
+            rows = [hp, hv * dT, ha * dT2]
+            rows += [x[2 * ((N - 1) * seg + jj) + d] for jj in range(N - 1)]
+            rows += [tp, tv * dT, ta * dT2]
+            return jnp.stack(rows)
 
+        rhs_x.append(rhs_dim(0))
+        rhs_y.append(rhs_dim(1))
+        dTs.append(dT)
+        tts.append(trajtime)
+        trajtime = trajtime + T[seg]
+
+    return tuple(rhs_x), tuple(rhs_y), tuple(dTs), tuple(tts), tuple(T)
+
+
+def _smooth_from_vals(vals, sc: KScenario, kc: KConsts, sw: StaticW,
+                      dims: Dims):
+    """Jerk energy + time cost from _pre outputs, seg-mask weighted."""
+    rhs_x, rhs_y, dTs, _tts, T = vals
+    S = dims.S
+    dtype = rhs_x[0].dtype
     Q = kc.Q[:13]
-    jerk = (jnp.sum(rhs_x * dotc(Q, rhs_x), axis=0)
-            + jnp.sum(rhs_y * dotc(Q, rhs_y), axis=0)) * invdT ** 5
+    f = 0.0
+    for seg in range(S):
+        invdT = 1.0 / dTs[seg]
+        jerk = (jnp.sum(rhs_x[seg] * _dotc(Q, rhs_x[seg], dtype), axis=0)
+                + jnp.sum(rhs_y[seg] * _dotc(Q, rhs_y[seg], dtype), axis=0)
+                ) * invdT ** 5
+        segw = sc.misc[S + seg] if S > 1 else 1.0
+        f = f + segw * (jerk + sw.wei_time * T[seg])
+    return f
 
-    sig_x, sig_y = dotc(kc.P[0], rhs_x), dotc(kc.P[0], rhs_y)    # [R, TB]
-    dsx = dotc(kc.P[1], rhs_x) * invdT[None]
-    dsy = dotc(kc.P[1], rhs_y) * invdT[None]
-    dd = invdT[None] * invdT[None]
-    ddx = dotc(kc.P[2], rhs_x) * dd
-    ddy = dotc(kc.P[2], rhs_y) * dd
 
+def _make_chunk_fn(sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
+                   seg: int):
+    """Penalty integrand for one CH-row chunk of one segment.
+
+    Returns fn(c, rhs_x [13, TB], rhs_y, dT [TB], tt [TB]) -> cost [TB]
+    (unweighted by seg_mask). Every per-row constant is dynamic-sliced per
+    chunk so the caller can loop the chunk index with lax control flow.
+    """
+    S, N, K1, H, O, Po = dims.S, dims.N, dims.K1, dims.H, dims.O, dims.Po
+    R = N * K1
+    CH = chunk_rows(R)
     omg_eff = kc.gridc[0]                                # [R, 1]
     frac = kc.gridc[1]
-    pen_mask = omg_eff > 0.0
-
-    vn2 = dsx * dsx + dsy * dsy
-    valid = pen_mask & (vn2 >= 1e-8)                     # |dsig| >= 1e-4
-    safe_vn2 = jnp.where(valid, vn2, 1.0)
-    inv_vn = jax.lax.rsqrt(safe_vn2)
-    vel2_reci = 1.0 / safe_vn2
-    vel2_reci_e = 1.0 / (safe_vn2 + sw.epis)
-    vel32_reci_e = vel2_reci_e * jnp.sqrt(vel2_reci_e)
-
-    wq = jnp.where(valid, omg_eff * dT[None], 0.0)       # [R, TB]
-
-    sgl = sc.misc[0][None]                               # [1, TB] ±1
-    fwd = sgl > 0.0
-    max_vel = jnp.where(fwd, sw.max_forward_vel, sw.max_backward_vel)
-    max_acc = jnp.where(fwd, sw.max_forward_acc, sw.max_backward_acc)
-    max_cur = jnp.where(fwd, sw.max_forward_cur, sw.max_backward_cur)
-
-    # ego rotation R = sgl * [[u, -v], [v, u]], u/v = normalized dsig
-    u = dsx * inv_vn * sgl
-    v = dsy * inv_vn * sgl
-
-    # --- static corridor penalty (traj_optimizer.cpp:592-622) ---
-    acc_obs = 0.0
-    for e in range(len(sw.le)):
-        lex, ley = sw.le[e]
-        bx = sig_x + u * lex - v * ley
-        by = sig_y + v * lex + u * ley
-        for h in range(H):
-            nx, ny = sc.corr_n[h, 0], sc.corr_n[h, 1]
-            viol = nx * (bx - sc.corr_p[h, 0]) + ny * (by - sc.corr_p[h, 1])
-            acc_obs = acc_obs + smoothed_l1(viol) * sc.corr_m[h]
-    cost_obs = sw.wei_obs * jnp.sum(wq * acc_obs, axis=0)
-
-    # --- feasibility (traj_optimizer.cpp:642-705) ---
-    z_h1 = ddx * dsx + ddy * dsy
-    z_h3 = ddy * dsx - ddx * dsy
-    viola_vel = vn2 - max_vel * max_vel
-    viola_acc = z_h1 * z_h1 * vel2_reci - max_acc * max_acc
-    cur = z_h3 * vel32_reci_e
-    feas = (smoothed_l1(viola_vel) + smoothed_l1(viola_acc)
-            + 10.0 * (smoothed_l1(cur - max_cur) + smoothed_l1(-cur - max_cur)))
-    cost_feas = sw.wei_feas * jnp.sum(wq * feas, axis=0)
-
-    # --- dynamic obstacles (traj_optimizer.cpp:1311-1684) ---
-    cost_dyn = 0.0
     alpha = sw.lse_alpha
     d_min = sw.surround_clearance + float(np.log(8.0)) / alpha
     E = len(sw.le)
-    for o in range(O):
-        dt_o = sc.misc[1 + o][None]                      # [1, TB]
-        rel_t0 = sc.misc[1 + O + o][None]
-        mask_o = sc.misc[1 + 2 * O + o][None] > 0.5
-        pt_time = rel_t0 + frac * dT[None]               # [R, TB]
-        total = dt_o * Po
-        inside = pt_time < total
-        ft = jnp.minimum(pt_time, total) / dt_o
-        idxf = jnp.clip(jnp.floor(ft), 0.0, Po - 1.0)
-        tau = ft - idxf
+    ob = 2 * S
+    segR = seg * R
 
-        cx, cy = sc.obs_c[o, 0], sc.obs_c[o, 1]          # [6*Po, TB]
+    def chunk_cost(c, rhs_x, rhs_y, dTc, ttc):
+        dtype = rhs_x.dtype
+        row0 = c * CH
+        if isinstance(c, int):
+            # static chunk (Pallas kernel path: the TC lowering has no
+            # dynamic_slice primitive, so the chunk loop is unrolled with
+            # plain slices there)
+            dsl = lambda a: a[row0:row0 + CH]
+            crs = lambda a, ax: jax.lax.slice_in_dim(a, segR + row0,
+                                                     segR + row0 + CH, 1, ax)
+        else:
+            dsl = lambda a: jax.lax.dynamic_slice_in_dim(a, row0, CH, 0)
+            crs = lambda a, ax: jax.lax.dynamic_slice_in_dim(
+                a, segR + row0, CH, ax)
+        P0c, P1c, P2c = dsl(kc.P[0]), dsl(kc.P[1]), dsl(kc.P[2])
+        omg_c = dsl(omg_eff)                             # [CH, 1]
+        frac_c = dsl(frac)
 
-        # in-horizon piecewise quintic (one-hot piece select, bcost style)
-        def horner(tau_v, sel_fn, order):
-            px = 0.0
-            py = 0.0
-            for p in range(Po):
-                s = sel_fn(p)
-                hx = 0.0
-                hy = 0.0
-                for c in range(5, order - 1, -1):
-                    kf = 1.0
-                    for r in range(order):
-                        kf *= (c - r)
-                    hx = hx * tau_v + kf * cx[6 * p + c][None]
-                    hy = hy * tau_v + kf * cy[6 * p + c][None]
-                px = px + s * hx
-                py = py + s * hy
-            return px, py
+        sig_x = _dotc(P0c, rhs_x, dtype)                 # [CH, TB]
+        sig_y = _dotc(P0c, rhs_y, dtype)
+        invdTr = (1.0 / dTc)[None]
+        dsx = _dotc(P1c, rhs_x, dtype) * invdTr
+        dsy = _dotc(P1c, rhs_y, dtype) * invdTr
+        dd = invdTr * invdTr
+        ddx = _dotc(P2c, rhs_x, dtype) * dd
+        ddy = _dotc(P2c, rhs_y, dtype) * dd
 
-        sel_in = lambda p: (idxf == p).astype(dtype)
-        p_in_x, p_in_y = horner(tau, sel_in, 0)
-        inv_dt_o = 1.0 / dt_o
+        vn2 = dsx * dsx + dsy * dsy
+        valid = (omg_c > 0.0) & (vn2 >= 1e-8)            # |dsig| >= 1e-4
+        safe_vn2 = jnp.where(valid, vn2, 1.0)
+        inv_vn = jax.lax.rsqrt(safe_vn2)
+        vel2_reci = 1.0 / safe_vn2
+        vel2_reci_e = 1.0 / (safe_vn2 + sw.epis)
+        vel32_reci_e = vel2_reci_e * jnp.sqrt(vel2_reci_e)
+        wq = jnp.where(valid, omg_c * dTc[None], 0.0)    # [CH, TB]
 
-        # end state (tau = 1 on the last piece) for const-acc extrapolation
-        pe_x = pe_y = ve_x = ve_y = ae_x = ae_y = 0.0
-        for c in range(6):
-            pe_x = pe_x + cx[6 * (Po - 1) + c][None]
-            pe_y = pe_y + cy[6 * (Po - 1) + c][None]
-            if c >= 1:
-                ve_x = ve_x + c * cx[6 * (Po - 1) + c][None]
-                ve_y = ve_y + c * cy[6 * (Po - 1) + c][None]
-            if c >= 2:
-                ae_x = ae_x + c * (c - 1) * cx[6 * (Po - 1) + c][None]
-                ae_y = ae_y + c * (c - 1) * cy[6 * (Po - 1) + c][None]
-        ve_x, ve_y = ve_x * inv_dt_o, ve_y * inv_dt_o
-        ae_x, ae_y = ae_x * inv_dt_o * inv_dt_o, ae_y * inv_dt_o * inv_dt_o
-        ex = jnp.maximum(pt_time - total, 0.0)
-        pex_x = pe_x + ex * ve_x + 0.5 * ex * ex * ae_x
-        pex_y = pe_y + ex * ve_y + 0.5 * ex * ex * ae_y
+        sgl = sc.misc[seg][None]                         # [1, TB] ±1
+        fwd = sgl > 0.0
+        max_vel = jnp.where(fwd, sw.max_forward_vel, sw.max_backward_vel)
+        max_acc = jnp.where(fwd, sw.max_forward_acc, sw.max_backward_acc)
+        max_cur = jnp.where(fwd, sw.max_forward_cur, sw.max_backward_cur)
 
-        p_u_x = jnp.where(inside, p_in_x, pex_x)
-        p_u_y = jnp.where(inside, p_in_y, pex_y)
+        # ego rotation R = sgl * [[u, -v], [v, u]], u/v = normalized dsig
+        u = dsx * inv_vn * sgl
+        v = dsy * inv_vn * sgl
 
-        # rotation frame: polynomial extrapolation of the last piece
-        tau_r = jnp.where(inside, tau, 1.0 + ex / dt_o)
+        # --- static corridor penalty (traj_optimizer.cpp:592-622) ---
+        # chunk slices are taken OUTSIDE the _ckpt functions and passed as
+        # arguments: closures over the chunk-index-derived offset leak
+        # tracers out of custom_vjp (UnexpectedTracerError)
+        cn_c = crs(sc.corr_n, 2)
+        cp_c = crs(sc.corr_p, 2)
+        cm_c = crs(sc.corr_m, 1)
 
-        # select on floats: a mixed bool-array/python-bool where() lowers to
-        # an i8->i1 truncation Mosaic rejects
-        def sel_r(p):
-            s = (idxf == p).astype(dtype)
-            return jnp.where(inside, s, 1.0 if p == Po - 1 else 0.0)
-        v_r_x, v_r_y = horner(tau_r, sel_r, 1)
-        vrn = jnp.sqrt(v_r_x * v_r_x + v_r_y * v_r_y)
-        inv_vrn = 1.0 / jnp.maximum(vrn, 1e-12)
-        uo = v_r_x * inv_vrn
-        vo = v_r_y * inv_vrn
+        @_ckpt
+        def corridor_cost(sig_x, sig_y, u, v, wq, cn_c, cp_c, cm_c):
+            acc_obs = 0.0
+            for e in range(E):
+                lex, ley = sw.le[e]
+                bx = sig_x + u * lex - v * ley
+                by = sig_y + v * lex + u * ley
+                for h in range(H):
+                    viol = cn_c[h, 0] * (bx - cp_c[h, 0]) \
+                        + cn_c[h, 1] * (by - cp_c[h, 1])
+                    acc_obs = acc_obs + smoothed_l1(viol) * cm_c[h]
+            return jnp.sum(wq * acc_obs, axis=0)
 
-        rel_x = p_u_x - sig_x
-        rel_y = p_u_y - sig_y
-        near = rel_x * rel_x + rel_y * rel_y <= (1.5 * sw.veh_len) ** 2
+        cost_obs = sw.wei_obs * corridor_cost(sig_x, sig_y, u, v, wq,
+                                              cn_c, cp_c, cm_c)
 
-        # hull geometry: ego normals/vertices use (u, v), obstacle (uo, vo)
-        He, Ho, Rle, Rlo = [], [], [], []
-        for e in range(E):
-            ehx, ehy = sw.e_hat[e]
-            lex, ley = sw.le[e]
-            He.append((-v * ehx - u * ehy, u * ehx - v * ehy))
-            Ho.append((-vo * ehx - uo * ehy, uo * ehx - vo * ehy))
-            Rle.append((u * lex - v * ley, v * lex + u * ley))
-            Rlo.append((uo * lex - vo * ley, vo * lex + uo * ley))
+        # --- feasibility (traj_optimizer.cpp:642-705) ---
+        z_h1 = ddx * dsx + ddy * dsy
+        z_h3 = ddy * dsx - ddx * dsy
+        viola_vel = vn2 - max_vel * max_vel
+        viola_acc = z_h1 * z_h1 * vel2_reci - max_acc * max_acc
+        cur = z_h3 * vel32_reci_e
+        feas = (smoothed_l1(viola_vel) + smoothed_l1(viola_acc)
+                + 10.0 * (smoothed_l1(cur - max_cur)
+                          + smoothed_l1(-cur - max_cur)))
+        cost_feas = sw.wei_feas * jnp.sum(wq * feas, axis=0)
 
-        d_all = []
-        for e in range(E):
-            hx, hy = He[e]
-            d_tilde = hx * (rel_x - Rle[e][0]) + hy * (rel_y - Rle[e][1])
-            cross = [hx * Rlo[f2][0] + hy * Rlo[f2][1] for f2 in range(E)]
-            d_all.append(_neg_lse_over(cross, alpha) + d_tilde)
-        for f2 in range(E):
-            hx, hy = Ho[f2]
-            d_tilde = hx * (-rel_x - Rlo[f2][0]) + hy * (-rel_y - Rlo[f2][1])
-            cross = [hx * Rle[e][0] + hy * Rle[e][1] for e in range(E)]
-            d_all.append(_neg_lse_over(cross, alpha) + d_tilde)
+        # --- dynamic obstacles (traj_optimizer.cpp:1311-1684) ---
+        def obstacle_cost(o, sig_x, sig_y, u, v, wq, dT, trajtime, valid,
+                          frac_c):
+            dtype = sig_x.dtype
+            dt_o = sc.misc[ob + o][None]                 # [1, TB]
+            rel_t0 = sc.misc[ob + O + o][None]
+            mask_o = sc.misc[ob + 2 * O + o][None] > 0.5
+            pt_time = rel_t0 + trajtime[None] + frac_c * dT[None]
+            total = dt_o * Po
+            inside = pt_time < total
+            ft = jnp.minimum(pt_time, total) / dt_o
+            idxf = jnp.clip(jnp.floor(ft), 0.0, Po - 1.0)
+            tau = ft - idxf
 
-        d_val = d_min - _pos_lse_over(d_all, alpha)
-        gate = near & mask_o & valid
-        pen_d = jnp.where(gate, smoothed_l1(d_val), 0.0)
-        cost_dyn = cost_dyn + jnp.sum(wq * pen_d, axis=0)
+            cx, cy = sc.obs_c[o, 0], sc.obs_c[o, 1]      # [6*Po, TB]
 
-    cost_dyn = sw.wei_surround * cost_dyn
-    total_cost = (jerk + sw.wei_time * T + cost_obs + cost_feas + cost_dyn)
-    return sw.cost_scale * total_cost
+            # in-horizon piecewise quintic (one-hot piece select)
+            def horner(tau_v, sel_fn, order):
+                px = 0.0
+                py = 0.0
+                for pp in range(Po):
+                    ss = sel_fn(pp)
+                    hx = 0.0
+                    hy = 0.0
+                    for cdeg in range(5, order - 1, -1):
+                        kf = 1.0
+                        for r in range(order):
+                            kf *= (cdeg - r)
+                        hx = hx * tau_v + kf * cx[6 * pp + cdeg][None]
+                        hy = hy * tau_v + kf * cy[6 * pp + cdeg][None]
+                    px = px + ss * hx
+                    py = py + ss * hy
+                return px, py
+
+            sel_in = lambda pp: (idxf == pp).astype(dtype)
+            p_in_x, p_in_y = horner(tau, sel_in, 0)
+            inv_dt_o = 1.0 / dt_o
+
+            # end state (tau = 1 on the last piece), const-acc extrapolation
+            pe_x = pe_y = ve_x = ve_y = ae_x = ae_y = 0.0
+            for cdeg in range(6):
+                pe_x = pe_x + cx[6 * (Po - 1) + cdeg][None]
+                pe_y = pe_y + cy[6 * (Po - 1) + cdeg][None]
+                if cdeg >= 1:
+                    ve_x = ve_x + cdeg * cx[6 * (Po - 1) + cdeg][None]
+                    ve_y = ve_y + cdeg * cy[6 * (Po - 1) + cdeg][None]
+                if cdeg >= 2:
+                    ae_x = ae_x \
+                        + cdeg * (cdeg - 1) * cx[6 * (Po - 1) + cdeg][None]
+                    ae_y = ae_y \
+                        + cdeg * (cdeg - 1) * cy[6 * (Po - 1) + cdeg][None]
+            ve_x, ve_y = ve_x * inv_dt_o, ve_y * inv_dt_o
+            ae_x = ae_x * inv_dt_o * inv_dt_o
+            ae_y = ae_y * inv_dt_o * inv_dt_o
+            ex = jnp.maximum(pt_time - total, 0.0)
+            pex_x = pe_x + ex * ve_x + 0.5 * ex * ex * ae_x
+            pex_y = pe_y + ex * ve_y + 0.5 * ex * ex * ae_y
+
+            p_u_x = jnp.where(inside, p_in_x, pex_x)
+            p_u_y = jnp.where(inside, p_in_y, pex_y)
+
+            # rotation frame: polynomial extrapolation of the last piece
+            tau_r = jnp.where(inside, tau, 1.0 + ex / dt_o)
+
+            # select on floats: a mixed bool-array/python-bool where()
+            # lowers to an i8->i1 truncation Mosaic rejects
+            def sel_r(pp):
+                ss = (idxf == pp).astype(dtype)
+                return jnp.where(inside, ss, 1.0 if pp == Po - 1 else 0.0)
+            v_r_x, v_r_y = horner(tau_r, sel_r, 1)
+            vrn = jnp.sqrt(v_r_x * v_r_x + v_r_y * v_r_y)
+            inv_vrn = 1.0 / jnp.maximum(vrn, 1e-12)
+            uo = v_r_x * inv_vrn
+            vo = v_r_y * inv_vrn
+
+            rel_x = p_u_x - sig_x
+            rel_y = p_u_y - sig_y
+            near = rel_x * rel_x + rel_y * rel_y <= (1.5 * sw.veh_len) ** 2
+
+            # hull geometry: ego normals/vertices use (u, v), obstacle
+            # (uo, vo)
+            He, Ho, Rle, Rlo = [], [], [], []
+            for e in range(E):
+                ehx, ehy = sw.e_hat[e]
+                lex, ley = sw.le[e]
+                He.append((-v * ehx - u * ehy, u * ehx - v * ehy))
+                Ho.append((-vo * ehx - uo * ehy, uo * ehx - vo * ehy))
+                Rle.append((u * lex - v * ley, v * lex + u * ley))
+                Rlo.append((uo * lex - vo * ley, vo * lex + uo * ley))
+
+            d_all = []
+            for e in range(E):
+                hx, hy = He[e]
+                d_tilde = hx * (rel_x - Rle[e][0]) + hy * (rel_y - Rle[e][1])
+                cross = [hx * Rlo[f2][0] + hy * Rlo[f2][1]
+                         for f2 in range(E)]
+                d_all.append(_neg_lse_over(cross, alpha) + d_tilde)
+            for f2 in range(E):
+                hx, hy = Ho[f2]
+                d_tilde = hx * (-rel_x - Rlo[f2][0]) \
+                    + hy * (-rel_y - Rlo[f2][1])
+                cross = [hx * Rle[e][0] + hy * Rle[e][1] for e in range(E)]
+                d_all.append(_neg_lse_over(cross, alpha) + d_tilde)
+
+            d_val = d_min - _pos_lse_over(d_all, alpha)
+            gate = near & mask_o & valid
+            pen_d = jnp.where(gate, smoothed_l1(d_val), 0.0)
+            return jnp.sum(wq * pen_d, axis=0)
+
+        cost_dyn = 0.0
+        for o in range(O):
+            cost_dyn = cost_dyn + _ckpt(
+                functools.partial(obstacle_cost, o))(
+                sig_x, sig_y, u, v, wq, dTc, ttc, valid, frac_c)
+        cost_dyn = sw.wei_surround * cost_dyn
+
+        return cost_obs + cost_feas + cost_dyn
+
+    return chunk_cost
 
 
-def eval_fg(x, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims):
-    """(f [TB], g [DP, TB]) via per-lane VJP (lanes are independent, so a
-    ones cotangent yields each lane's gradient)."""
-    f, vjp = jax.vjp(lambda xv: eval_cost(xv, sc, kc, sw, dims), x)
-    (g,) = vjp(jnp.ones_like(f))
+def eval_cost(x, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims):
+    """Scaled objective per lane: x [dp_of(dims), TB] -> f [TB].
+
+    Pure jnp on values — identical trace inside the Pallas kernel and in
+    plain XLA (used by tests for parity against ops/bcost). Segments are a
+    static Python loop; gear-junction boundary overrides come from the
+    decision vector gated on seg_mask (cost.boundary_states semantics);
+    absolute time for the dynamic-obstacle penalty is the true cumulative
+    sum of segment durations (the reference's trajtimes quirk is vmap-only).
+    The penalty integrator runs as a counter-carry lax.scan over CH-row
+    chunks (see _make_chunk_fn / eval_fg).
+    """
+    S = dims.S
+    R = dims.N * dims.K1
+    n_chunks = R // chunk_rows(R)
+    vals = _pre(x, sc, sw, dims)
+    rhs_x, rhs_y, dTs, tts, _T = vals
+    f = _smooth_from_vals(vals, sc, kc, sw, dims)
+    for seg in range(S):
+        fn = _make_chunk_fn(sc, kc, sw, dims, seg)
+        segw = sc.misc[S + seg] if S > 1 else 1.0
+
+        def body(carry, _):
+            acc, c = carry
+            return (acc + fn(c, rhs_x[seg], rhs_y[seg], dTs[seg], tts[seg]),
+                    c + 1), None
+
+        (pen, _), _ = jax.lax.scan(
+            body, (jnp.zeros_like(f), jnp.asarray(0, jnp.int32)), None,
+            length=n_chunks)
+        f = f + segw * pen
+    return sw.cost_scale * f
+
+
+def eval_fg(x, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
+            unroll_chunks: bool = False):
+    """(f [TB], g [dp, TB]) with the gradient assembled chunk-by-chunk.
+
+    jax.vjp(eval_cost) would stack every chunk's residuals through the scan
+    (extensive outputs the Pallas lowering rejects, and 165 MB of VMEM spill
+    when unrolled); instead each chunk's VJP runs INSIDE a fori_loop body,
+    accumulating cotangents w.r.t. the per-segment _pre outputs, and one
+    outer vjp of _pre maps those back to x. Values and gradients match
+    jax.grad of eval_cost to float-rounding (asserted in
+    tests/test_megakernel.py).
+    """
+    S = dims.S
+    R = dims.N * dims.K1
+    n_chunks = R // chunk_rows(R)
+    dtype = x.dtype
+
+    vals, vjp_pre = jax.vjp(lambda xv: _pre(xv, sc, sw, dims), x)
+    rhs_x, rhs_y, dTs, tts, _T = vals
+
+    ones = jnp.ones(x.shape[-1:], dtype)
+    fs, vjp_s = jax.vjp(
+        lambda v: _smooth_from_vals(v, sc, kc, sw, dims), vals)
+    cots = vjp_s(ones)[0]
+    f = fs
+
+    crx, cry, cdt, ctt = (list(cots[0]), list(cots[1]), list(cots[2]),
+                          list(cots[3]))
+    for seg in range(S):
+        fn = _make_chunk_fn(sc, kc, sw, dims, seg)
+        segw = sc.misc[S + seg] if S > 1 else ones
+
+        def body(c, carry):
+            facc, gx, gy, gd, gt = carry
+            fc, vjp_c = jax.vjp(
+                lambda a, b, d, t: fn(c, a, b, d, t),
+                rhs_x[seg], rhs_y[seg], dTs[seg], tts[seg])
+            dgx, dgy, dgd, dgt = vjp_c(segw * jnp.ones_like(fc))
+            return (facc + segw * fc, gx + dgx, gy + dgy, gd + dgd,
+                    gt + dgt)
+
+        zero = (jnp.zeros_like(fs), jnp.zeros_like(rhs_x[seg]),
+                jnp.zeros_like(rhs_y[seg]), jnp.zeros_like(dTs[seg]),
+                jnp.zeros_like(tts[seg]))
+        if unroll_chunks:
+            carry = zero
+            for c in range(n_chunks):
+                carry = body(c, carry)
+            pen, gx, gy, gd, gt = carry
+        else:
+            pen, gx, gy, gd, gt = jax.lax.fori_loop(0, n_chunks, body, zero)
+        f = f + pen
+        crx[seg] = crx[seg] + gx
+        cry[seg] = cry[seg] + gy
+        cdt[seg] = cdt[seg] + gd
+        ctt[seg] = ctt[seg] + gt
+
+    (g,) = vjp_pre((tuple(crx), tuple(cry), tuple(cdt), tuple(ctt),
+                    cots[4]))
+
     # padded decision rows carry no cost: zero their (already-zero) grads
     # defensively so L-BFGS reductions stay exact
-    n_var = 2 * (dims.N - 1) + 1
-    if DP > n_var:
-        row = jax.lax.broadcasted_iota(jnp.int32, (DP, 1), 0)
+    n_var = dims.dim
+    dp = x.shape[0]
+    if dp > n_var:
+        row = jax.lax.broadcasted_iota(jnp.int32, (dp, 1), 0)
         g = jnp.where(row < n_var, g, 0.0)
-    return f, g
+    return sw.cost_scale * f, sw.cost_scale * g

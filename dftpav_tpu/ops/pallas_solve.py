@@ -44,7 +44,8 @@ from jax.experimental.pallas import tpu as pltpu
 from dftpav_tpu.config import LBFGSParams, PlannerConfig
 from dftpav_tpu.lbfgs import Status
 from dftpav_tpu.ops import bcost, kcost
-from dftpav_tpu.ops.kcost import DP, KConsts, KScenario, StaticW
+from dftpav_tpu.ops.kcost import (DP, KConsts, KScenario, StaticW, bnd_rows,
+                                  dp_of, misc_rows)
 from dftpav_tpu.types import Dims, Scenario, SolveResult, Weights
 
 
@@ -62,22 +63,76 @@ class _Carry(NamedTuple):
     brackt: jnp.ndarray   # [TB] float 0/1 mask (bool lanes in the carry
     touched: jnp.ndarray  # [TB] float 0/1 mask  lower to an i8->i1 vector
                           #     truncation Mosaic rejects)
-    lscnt: jnp.ndarray    # [TB] i32
+    lscnt: jnp.ndarray    # [TB] f32 counter (integer-valued; int lanes in
+                          #     the carry hit the same Mosaic relayout gaps
+                          #     as bools, so counters/statuses ride as f32)
     # newest-first history as TUPLES of [DP, TB] / [TB] arrays: slicing a
     # stacked [m, DP, TB] gives offset layouts Mosaic cannot reduce over
     # ("input layout must have zero offsets over dimensions being reduced")
     lm_s: tuple           # m x [DP, TB]
     lm_y: tuple           # m x [DP, TB]
     lm_ys: tuple          # m x [TB]
-    bound: jnp.ndarray    # [TB] i32
-    k: jnp.ndarray        # [TB] i32 iteration counter
+    bound: jnp.ndarray    # [TB] f32 (integer-valued)
+    k: jnp.ndarray        # [TB] f32 iteration counter
     pf: jnp.ndarray       # [past, TB]
-    n_evals: jnp.ndarray  # [TB] i32
-    status: jnp.ndarray   # [TB] i32
+    n_evals: jnp.ndarray  # [TB] f32
+    status: jnp.ndarray   # [TB] f32 (Status codes)
 
 
 def _dot(a, b):
-    return jnp.sum(a * b, axis=0)
+    """Decision-space dot product, [DP, TB] x [DP, TB] -> [TB].
+
+    Expressed as a ones-row matmul instead of jnp.sum(a*b, axis=0): inside
+    the Mosaic kernel the loop-carried operands can carry non-zero sublane
+    offsets, which vector.multi_reduction rejects for float ADD ("input
+    layout must have zero offsets over dimensions that are being reduced");
+    matmul operands are relayouted freely. DP is tiny (16-64), so the MXU
+    pass costs nothing.
+    """
+    prod = a * b
+    ones = jnp.ones((1, prod.shape[0]), prod.dtype)
+    return jax.lax.dot_general(ones, prod, (((1,), (0,)), ((), ())),
+                               preferred_element_type=prod.dtype)
+
+
+def _clean_row(v):
+    """Relayout a per-lane [TB] (or [1, TB]) float vector to a standard
+    [1, TB] via a 1x1 matmul (Mosaic relayouts matmul operands freely; see
+    _dot). Identity numerically: 1.0 * v with f32 accumulation.
+
+    Every per-lane scalar in the round loop rides as an explicit [1, TB]
+    row: 1-D loop carries get implicit-dim layouts whose interplay trips
+    unimplemented Mosaic relayouts ("Not implemented: Sublane broadcast")
+    even on plain elementwise adds."""
+    v2 = v if v.ndim == 2 else v[None]
+    one = jnp.ones((1, 1), v2.dtype)
+    return jax.lax.dot_general(one, v2, (((1,), (0,)), ((), ())),
+                               preferred_element_type=v2.dtype)
+
+
+def _clean_mat(v):
+    """Relayout a [DP, TB] value to a standard layout (identity matmul)."""
+    n = v.shape[0]
+    ident = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+             == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)).astype(v.dtype)
+    return jax.lax.dot_general(ident, v, (((1,), (0,)), ((), ())),
+                               preferred_element_type=v.dtype)
+
+
+def _selrow(mask, a, b):
+    """jnp.where with a [1, TB] mask over [DP, TB] values.
+
+    The mask is expanded by an outer-product matmul rather than a broadcast:
+    broadcasting gives it a sublane-REPLICATED layout, and select_n then
+    demands the (non-replicated) value operands relayout to match — an
+    invalid relayout Mosaic rejects. The matmul-produced mask has a standard
+    dense layout, so the select sees agreeing layouts. NaN-safe (a real
+    select, not an arithmetic lerp)."""
+    ones = jnp.ones((a.shape[0], 1), a.dtype)
+    mf = jax.lax.dot_general(ones, mask.astype(a.dtype),
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=a.dtype)
+    return jnp.where(mf > 0.5, a, b)
 
 
 def _two_loop_t(g, lm_s, lm_y, lm_ys, bound, ys, yy):
@@ -100,21 +155,24 @@ def _two_loop_t(g, lm_s, lm_y, lm_ys, bound, ys, yy):
 
 
 def _solve_rounds(x0, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
-                  p: LBFGSParams, max_iter: int) -> _Carry:
+                  p: LBFGSParams, max_iter: int,
+                  unroll_chunks: bool = False) -> _Carry:
     """The fused round loop over values (runs inside the kernel; also
     testable as plain XLA)."""
     dtype = x0.dtype
-    TB = x0.shape[-1]
+    DPx, TB = x0.shape
     m, past = p.mem_size, max(p.past, 1)
-    i32 = jnp.int32
+    i32 = dtype  # integer-valued carries ride as floats (see _Carry)
 
     def fg(x):
-        return kcost.eval_fg(x, sc, kc, sw, dims)
+        return kcost.eval_fg(x, sc, kc, sw, dims,
+                             unroll_chunks=unroll_chunks)
 
     f0, g0 = fg(x0)
+    f0 = _clean_row(f0)                                  # [1, TB]
     d0 = -g0
-    gnorm = jnp.max(jnp.abs(g0), axis=0)
-    xnorm = jnp.max(jnp.abs(x0), axis=0)
+    gnorm = jnp.max(jnp.abs(g0), axis=0, keepdims=True)
+    xnorm = jnp.max(jnp.abs(x0), axis=0, keepdims=True)
     already = gnorm / jnp.maximum(1.0, xnorm) < p.g_epsilon
     dginit0 = _dot(g0, d0)
     stp0 = 1.0 / jnp.maximum(jnp.sqrt(_dot(d0, d0)), 1e-30)
@@ -123,30 +181,49 @@ def _solve_rounds(x0, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
         xp=x0, fp=f0, gp=g0, d=d0, stp=stp0,
         finit=f0, dgtest=p.f_dec_coeff * dginit0,
         dstest=p.s_curv_coeff * dginit0,
-        mu=jnp.zeros((TB,), dtype), nu=jnp.full((TB,), p.max_step, dtype),
-        brackt=jnp.zeros((TB,), dtype), touched=jnp.zeros((TB,), dtype),
-        lscnt=jnp.zeros((TB,), i32),
-        lm_s=tuple(jnp.zeros((DP, TB), dtype) for _ in range(m)),
-        lm_y=tuple(jnp.zeros((DP, TB), dtype) for _ in range(m)),
-        lm_ys=tuple(jnp.ones((TB,), dtype) for _ in range(m)),
-        bound=jnp.zeros((TB,), i32), k=jnp.ones((TB,), i32),
-        pf=jnp.concatenate([f0[None], jnp.zeros((past - 1, TB), dtype)])
-        if past > 1 else f0[None],
-        n_evals=jnp.ones((TB,), i32),
+        mu=jnp.zeros((1, TB), dtype), nu=jnp.full((1, TB), p.max_step, dtype),
+        brackt=jnp.zeros((1, TB), dtype), touched=jnp.zeros((1, TB), dtype),
+        lscnt=jnp.zeros((1, TB), dtype),
+        lm_s=tuple(jnp.zeros((DPx, TB), dtype) for _ in range(m)),
+        lm_y=tuple(jnp.zeros((DPx, TB), dtype) for _ in range(m)),
+        lm_ys=tuple(jnp.ones((1, TB), dtype) for _ in range(m)),
+        bound=jnp.zeros((1, TB), dtype), k=jnp.ones((1, TB), dtype),
+        pf=jnp.concatenate([f0, jnp.zeros((past - 1, TB), dtype)])
+        if past > 1 else f0,
+        n_evals=jnp.ones((1, TB), dtype),
         status=jnp.where(already, Status.CONVERGENCE,
-                         Status.RUNNING).astype(i32),
+                         Status.RUNNING).astype(dtype),
     )
 
-    onehot_rows = jax.lax.broadcasted_iota(i32, (past, TB), 0)
+    onehot_rows = jax.lax.broadcasted_iota(jnp.int32, (past, TB), 0)
+    onehot_rows = onehot_rows.astype(dtype)
 
     def cond(c: _Carry):
         return jnp.any(c.status == Status.RUNNING)
 
     def body(c: _Carry) -> _Carry:
+        # canonicalize every carry layout (tiny matmul relayouts): Mosaic's
+        # layout inference otherwise assigns the loop-carried values mixed
+        # offset/replicated layouts whose pairwise ops need relayouts it has
+        # not implemented (sublane broadcasts, replication changes)
+        c = _Carry(
+            xp=_clean_mat(c.xp), fp=_clean_row(c.fp), gp=_clean_mat(c.gp),
+            d=_clean_mat(c.d), stp=_clean_row(c.stp),
+            finit=_clean_row(c.finit), dgtest=_clean_row(c.dgtest),
+            dstest=_clean_row(c.dstest), mu=_clean_row(c.mu),
+            nu=_clean_row(c.nu), brackt=_clean_row(c.brackt),
+            touched=_clean_row(c.touched), lscnt=_clean_row(c.lscnt),
+            lm_s=tuple(_clean_mat(v) for v in c.lm_s),
+            lm_y=tuple(_clean_mat(v) for v in c.lm_y),
+            lm_ys=tuple(_clean_row(v) for v in c.lm_ys),
+            bound=_clean_row(c.bound), k=_clean_row(c.k),
+            pf=_clean_mat(c.pf), n_evals=_clean_row(c.n_evals),
+            status=_clean_row(c.status))
         act = c.status == Status.RUNNING
-        x_try = c.xp + c.stp[None] * c.d
+        x_try = c.xp + c.stp * c.d
         f_try, g_try = fg(x_try)
-        n_evals = c.n_evals + act.astype(i32)
+        f_try = _clean_row(f_try)                        # [1, TB]
+        n_evals = c.n_evals + act.astype(dtype)
 
         # --- Lewis-Overton decision (lbfgs.hpp:276-389, as in blbfgs) ---
         dg = _dot(g_try, c.d)
@@ -163,8 +240,8 @@ def _solve_rounds(x0, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
         nu = jnp.where(cont & armijo_fail, c.stp, c.nu)
         brackt_b = (c.brackt > 0.5) | (cont & armijo_fail)
         mu = jnp.where(cont & ~armijo_fail & wolfe_fail, c.stp, c.mu)
-        lscnt = c.lscnt + cont.astype(i32)
-        code = jnp.zeros((TB,), i32)
+        lscnt = c.lscnt + cont.astype(dtype)
+        code = jnp.zeros((1, TB), dtype)
         code = jnp.where(cont & (lscnt >= p.max_linesearch), 2, code)
         code = jnp.where(cont & (code == 0) & brackt_b
                          & ((nu - mu) < p.machine_prec * nu),
@@ -182,21 +259,22 @@ def _solve_rounds(x0, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
                            jnp.where(code == 2, Status.MAXLS, code), c.status)
 
         # --- iteration end for accepted lanes (blbfgs body semantics) ---
-        gnorm = jnp.max(jnp.abs(g_try), axis=0)
-        xnorm = jnp.max(jnp.abs(x_try), axis=0)
+        gnorm = jnp.max(jnp.abs(g_try), axis=0, keepdims=True)
+        xnorm = jnp.max(jnp.abs(x_try), axis=0, keepdims=True)
         conv = gnorm / jnp.maximum(1.0, xnorm) < p.g_epsilon
         status = jnp.where(accept & conv, Status.CONVERGENCE, status)
 
         if p.past > 0:
-            slot = jnp.mod(c.k, past)
-            onehot = onehot_rows == slot[None]
-            pf_slot = jnp.sum(jnp.where(onehot, c.pf, 0.0), axis=0)
+            slot = jnp.mod(c.k, past)                    # [1, TB]
+            onehot = onehot_rows == slot
+            pf_slot = jnp.sum(jnp.where(onehot, c.pf, 0.0), axis=0,
+                              keepdims=True)
             rate = jnp.abs(pf_slot - f_try) / jnp.maximum(1.0, jnp.abs(f_try))
             stop = (c.k >= past) & (rate < p.delta)
             status = jnp.where(accept & (status == Status.RUNNING) & stop,
                                Status.STOP, status)
             newpf = jnp.where(status == Status.RUNNING, f_try, pf_slot)
-            pf = jnp.where(onehot & accept[None], newpf[None], c.pf)
+            pf = jnp.where(onehot & accept, newpf, c.pf)
         else:
             pf = c.pf
         status = jnp.where(accept & (status == Status.RUNNING)
@@ -210,17 +288,17 @@ def _solve_rounds(x0, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
         yy = _dot(y, y)
         cau = _dot(s, s) * jnp.sqrt(_dot(c.gp, c.gp)) * p.cautious_factor
         do_up = accept & (status == Status.RUNNING) & (ys > cau)
-        lm_s = tuple(jnp.where(do_up, new, old) for new, old
+        lm_s = tuple(_selrow(do_up, new, old) for new, old
                      in zip((s,) + c.lm_s[:-1], c.lm_s))
-        lm_y = tuple(jnp.where(do_up, new, old) for new, old
+        lm_y = tuple(_selrow(do_up, new, old) for new, old
                      in zip((y,) + c.lm_y[:-1], c.lm_y))
         lm_ys = tuple(jnp.where(do_up, new, old) for new, old
                       in zip((ys,) + c.lm_ys[:-1], c.lm_ys))
         bound = jnp.where(do_up, jnp.minimum(c.bound + 1, m), c.bound)
         d_new = _two_loop_t(g_try, lm_s, lm_y, lm_ys, bound, ys,
                             jnp.maximum(yy, 1e-30))
-        d_next = jnp.where(do_up, d_new, -g_try)
-        d = jnp.where(accept[None], d_next, c.d)
+        d_next = _selrow(do_up, d_new, -g_try)
+        d = _selrow(accept, d_next, c.d)
 
         # --- next line-search setup for accepted lanes ---
         dginit = _dot(g_try, d_next)
@@ -237,8 +315,9 @@ def _solve_rounds(x0, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
         lscnt = jnp.where(accept, 0, lscnt)
         stp = jnp.where(accept, 1.0, jnp.where(cont, stp_n, c.stp))
 
-        xp = jnp.where(accept[None], x_try, c.xp)
-        gp = jnp.where(accept[None], g_try, c.gp)
+        xp = _clean_mat(_selrow(accept, x_try, c.xp))
+        gp = _clean_mat(_selrow(accept, g_try, c.gp))
+        d = _clean_mat(d)
         fp = jnp.where(accept | ls_fail, f_try, c.fp)
 
         return _Carry(xp=xp, fp=fp, gp=gp, d=d, stp=stp, finit=finit,
@@ -256,14 +335,14 @@ def _kernel(x0_ref, bnd_ref, misc_ref, cn_ref, cp_ref, cm_ref, obsc_ref,
     sc = KScenario(bnd=bnd_ref[:], misc=misc_ref[:], corr_n=cn_ref[:],
                    corr_p=cp_ref[:], corr_m=cm_ref[:], obs_c=obsc_ref[:])
     kc = KConsts(P=P_ref[:], Q=Q_ref[:], gridc=gridc_ref[:])
-    out = _solve_rounds(x0_ref[:], sc, kc, sw, dims, p, max_iter)
+    out = _solve_rounds(x0_ref[:], sc, kc, sw, dims, p, max_iter,
+                        unroll_chunks=True)
     xout_ref[:] = out.xp
     f32 = out.xp.dtype
-    TB = out.fp.shape[0]
-    zero = jnp.zeros((TB,), f32)
-    stats_ref[:] = jnp.stack([
-        out.fp, out.status.astype(f32), out.k.astype(f32),
-        out.n_evals.astype(f32), zero, zero, zero, zero])
+    TB = out.fp.shape[-1]
+    zero = jnp.zeros((1, TB), f32)
+    stats_ref[:] = jnp.concatenate([
+        out.fp, out.status, out.k, out.n_evals, zero, zero, zero, zero])
 
 
 def _prep(batch: Scenario, w: Weights, dims: Dims, cfg: PlannerConfig,
@@ -277,7 +356,7 @@ def _prep(batch: Scenario, w: Weights, dims: Dims, cfg: PlannerConfig,
     x0 = jax.vmap(lambda s: cost_mod.initial_guess(s, w, dims))(batch)
     D = x0.shape[1]
     B = x0.shape[0]
-    x0p = jnp.zeros((DP, B), dtype).at[:D].set(x0.T.astype(dtype))
+    x0p = jnp.zeros((dp_of(dims), B), dtype).at[:D].set(x0.T.astype(dtype))
     sc = kcost.prep_scenario(batch, dims, dtype)
     kc = kcost.make_consts(dims, dtype)
     return batch, x0p, sc, kc, D
@@ -323,7 +402,8 @@ def solve_batch_rounds(batch: Scenario, w: Weights, dims: Dims,
         (P_o @ rhs), so the banded system never materializes on device.
     Weights must be concrete (compile-time) values. S == 1 problem class.
     """
-    assert dims.S == 1, "round-loop engine covers the single-gear class"
+    assert not getattr(cfg.opt, "ref_trajtime_compat", False) or dims.S == 1, \
+        "the reference trajtimes quirk is vmap-engine-only"
     dtype = batch.init_T.dtype
     p = cfg.opt.lbfgs
     max_iter = p.max_iterations if max_iterations is None else max_iterations
@@ -331,8 +411,9 @@ def solve_batch_rounds(batch: Scenario, w: Weights, dims: Dims,
     with jax.default_matmul_precision("float32"):
         batch, x0p, sc, kc, D = _prep(batch, w, dims, cfg, dtype)
         out = _solve_rounds(x0p, sc, kc, sw, dims, p, max_iter)
-    return _finalize(batch, out.xp, out.fp, out.status, out.k, w, dims,
-                     cfg, D)
+    return _finalize(batch, out.xp, out.fp[0],
+                     out.status[0].astype(jnp.int32),
+                     out.k[0].astype(jnp.int32), w, dims, cfg, D)
 
 
 def solve_batch_fused(batch: Scenario, w: Weights, dims: Dims,
@@ -340,10 +421,18 @@ def solve_batch_fused(batch: Scenario, w: Weights, dims: Dims,
                       tb: int = 128, interpret: bool = False) -> SolveResult:
     """Drop-in equivalent of solver.solve_batch_bminor on the fused kernel.
 
-    batch: Scenario with leading [B] (B % tb == 0), S == 1. Weights must be
+    batch: Scenario with leading [B] (B % tb == 0). Weights must be
     concrete (compile-time) values — the kernel bakes them in.
     """
-    assert dims.S == 1, "fused kernel covers the single-gear class"
+    with jax.default_matmul_precision("float32"):
+        # MXU default bf16 truncation inside the kernel's dot_generals
+        # degrades the line search (measured: cost p50 5750 vs 4361, stops
+        # at 21 iters); bf16x3 restores f32-true matmuls on tiny operands
+        return _solve_batch_fused(batch, w, dims, cfg, max_iterations, tb,
+                                  interpret)
+
+
+def _solve_batch_fused(batch, w, dims, cfg, max_iterations, tb, interpret):
     dtype = jnp.float32 if not interpret else batch.init_T.dtype
     B = batch.ini_state.shape[0]
     assert B % tb == 0, (B, tb)
@@ -364,26 +453,27 @@ def solve_batch_fused(batch: Scenario, w: Weights, dims: Dims,
                             memory_space=pltpu.VMEM)
 
     R = dims.N * dims.K1
+    dp = dp_of(dims)
     kern = functools.partial(_kernel, dims=dims, sw=sw, p=p,
                              max_iter=max_iter)
     x_out, stats = pl.pallas_call(
         kern,
         grid=(B // tb,),
         in_specs=[
-            lane_spec((DP,)),                 # x0
-            lane_spec((DP,)),                 # bnd
-            lane_spec((8,)),                  # misc
-            lane_spec((dims.H, 2, R)),        # corr_n
-            lane_spec((dims.H, 2, R)),        # corr_p
-            lane_spec((dims.H, R)),           # corr_m
+            lane_spec((dp,)),                 # x0
+            lane_spec((bnd_rows(dims),)),     # bnd
+            lane_spec((misc_rows(dims),)),    # misc
+            lane_spec((dims.H, 2, dims.S * R)),   # corr_n
+            lane_spec((dims.H, 2, dims.S * R)),   # corr_p
+            lane_spec((dims.H, dims.S * R)),      # corr_m
             lane_spec((max(dims.O, 1), 2, 6 * dims.Po)),  # obs_c
             const_spec((3, R, kc.P.shape[-1])),
-            const_spec((DP, kc.Q.shape[-1])),
+            const_spec((kc.Q.shape[0], kc.Q.shape[-1])),
             const_spec((2, R, 1)),
         ],
-        out_specs=[lane_spec((DP,)), lane_spec((8,))],
+        out_specs=[lane_spec((dp,)), lane_spec((8,))],
         out_shape=[
-            jax.ShapeDtypeStruct((DP, B), dtype),
+            jax.ShapeDtypeStruct((dp, B), dtype),
             jax.ShapeDtypeStruct((8, B), dtype),
         ],
         interpret=interpret,

@@ -80,12 +80,15 @@ def test_round_loop_matches_blbfgs_iterate_path():
     ref = blbfgs.minimize_b(fg, xp, p, max_iterations=12)
     out = _solve_rounds(xp, sc, kc, sw, DIMS, p, 12)
 
-    np.testing.assert_array_equal(np.asarray(out.status),
+    # per-lane rows ride as [1, B] floats in the round loop (Mosaic layout
+    # constraints); squeeze/cast for comparison
+    np.testing.assert_array_equal(np.asarray(out.status)[0].astype(int),
                                   np.asarray(ref.status))
-    np.testing.assert_array_equal(np.asarray(out.k), np.asarray(ref.n_iters))
-    np.testing.assert_array_equal(np.asarray(out.n_evals),
+    np.testing.assert_array_equal(np.asarray(out.k)[0].astype(int),
+                                  np.asarray(ref.n_iters))
+    np.testing.assert_array_equal(np.asarray(out.n_evals)[0].astype(int),
                                   np.asarray(ref.n_evals))
-    np.testing.assert_allclose(np.asarray(out.fp), np.asarray(ref.f),
+    np.testing.assert_allclose(np.asarray(out.fp)[0], np.asarray(ref.f),
                                rtol=1e-10, atol=0)
     np.testing.assert_allclose(np.asarray(out.xp), np.asarray(ref.x),
                                rtol=1e-9, atol=1e-10)
@@ -118,9 +121,9 @@ def test_round_loop_converges_like_blbfgs():
     out20 = _solve_rounds(xp, sc, kc, sw, DIMS, p, 20)
     np.testing.assert_allclose(np.asarray(out20.xp), np.asarray(ref20.x),
                                rtol=0, atol=1e-10)
-    assert np.all(np.asarray(out.status) >= 0)
+    assert np.all(np.asarray(out.status)[0] >= 0)
     assert np.all(np.asarray(ref.status) >= 0)
-    np.testing.assert_allclose(np.asarray(out.fp), np.asarray(ref.f),
+    np.testing.assert_allclose(np.asarray(out.fp)[0], np.asarray(ref.f),
                                rtol=0.08)
 
 
@@ -177,3 +180,77 @@ def test_rounds_engine_matches_bminor():
                                                       max_iterations=12))
     r2 = jitted(batch, w)
     assert np.asarray(r2.cost).shape == (8,)
+
+
+# ---------------------------------------------------------------------------
+# multi-gear (S > 1) support
+# ---------------------------------------------------------------------------
+
+DIMS_S2 = Dims(S=2, N=8, K=16, Kdes=32, H=4, O=1, Po=8)
+
+
+def _gear_batch(B=4, dtype=jnp.float64):
+    """Stacked gear-reversal scenarios (parking class) with one moving
+    obstacle so the absolute-time coupling across segments is exercised."""
+    import numpy as _np
+    cfg = PlannerConfig()
+    w = weights_from_config(cfg.opt, dtype)
+    scens = []
+    for i in range(B):
+        sc = scenarios.gear_scenario(DIMS_S2)
+        obs_coef = _np.zeros((1, 8, 6, 2))
+        dt = 30.0 / 8
+        vel = _np.array([0.6, 0.3 + 0.05 * i])
+        start = _np.array([6.0 + 0.5 * i, 0.0])
+        for pp in range(8):
+            obs_coef[0, pp, 0] = start + vel * (pp * dt)
+            obs_coef[0, pp, 1] = vel * dt
+        scens.append(sc._replace(obs_coef=obs_coef, obs_dt=_np.array([dt]),
+                                 obs_mask=_np.array([True])))
+    batch = scenarios.stack_scenarios(scens)
+    batch = jax.tree.map(jnp.asarray, batch)
+    clamped = jax.vmap(lambda s: solver.clamp_boundary_states(s, w))(batch)
+    x0 = jax.vmap(lambda s: cost_mod.initial_guess(s, w, DIMS_S2))(clamped)
+    xT = x0.T.astype(dtype)
+    dp = kcost.dp_of(DIMS_S2)
+    xp = jnp.zeros((dp, B), dtype).at[: xT.shape[0]].set(xT)
+    sw = kcost.StaticW.build(w, cfg)
+    sc = kcost.prep_scenario(clamped, DIMS_S2, dtype)
+    kc = kcost.make_consts(DIMS_S2, dtype)
+    return cfg, w, batch, clamped, xT, xp, sw, sc, kc
+
+
+def test_kcost_matches_bcost_s2():
+    """Multi-gear objective parity: kcost's segment loop with gear-junction
+    overrides == the golden-tested bcost objective, values and gradients."""
+    cfg, w, _batch, clamped, xT, xp, sw, sc, kc = _gear_batch()
+    scale = cfg.opt.cost_scale
+    with jax.default_matmul_precision("float32"):
+        f_ref, _ = bcost.total_cost_b(xT, bm := bcost.to_bminor(clamped), w,
+                                      DIMS_S2, cfg)
+        f_ref = scale * f_ref
+        g_ref = jax.grad(lambda x: jnp.sum(
+            scale * bcost.total_cost_b(x, bm, w, DIMS_S2, cfg)[0]))(xT)
+    f_k = kcost.eval_cost(xp, sc, kc, sw, DIMS_S2)
+    f_k2, g_k = kcost.eval_fg(xp, sc, kc, sw, DIMS_S2)
+    np.testing.assert_allclose(f_k, f_ref, rtol=1e-10)
+    np.testing.assert_allclose(f_k2, f_ref, rtol=1e-10)
+    np.testing.assert_allclose(g_k[: xT.shape[0]], g_ref,
+                               rtol=1e-8, atol=1e-8)
+    assert not np.any(np.asarray(g_k[xT.shape[0]:]))
+
+
+def test_rounds_engine_multigear_solves():
+    """solve_batch_rounds on the S=2 parking class lands in the bminor
+    engine's basin with usable statuses."""
+    from dftpav_tpu.ops.pallas_solve import solve_batch_rounds
+    cfg, w, batch, _c, _xT, _xp, _sw, _sc, _kc = _gear_batch()
+    res_ref = solver.solve_batch_bminor(batch, w, DIMS_S2, cfg,
+                                        max_iterations=120)
+    res = solve_batch_rounds(batch, w, DIMS_S2, cfg, max_iterations=120)
+    assert res.coeffs.shape == res_ref.coeffs.shape
+    assert np.all(np.asarray(res.status) >= 0)
+    np.testing.assert_array_equal(np.asarray(res.success),
+                                  np.asarray(res_ref.success))
+    np.testing.assert_allclose(np.asarray(res.cost),
+                               np.asarray(res_ref.cost), rtol=0.08)
