@@ -24,10 +24,13 @@ line search pays the MAX trial count across all 1024 lanes per iteration
     on the core): a tile whose lanes converge early exits early — straggler
     lanes only stall their own tile, not the whole batch.
 
-Same iterate path per lane as ops/blbfgs (same Lewis-Overton bracketing,
-cautious updates, stopping tests — lbfgs.hpp semantics); parity is asserted
-in tests/test_megakernel.py. S == 1 problem class (the bench/replan class);
-multi-gear batches use the ops/bcost engine.
+Same per-lane algorithm as ops/blbfgs (same Lewis-Overton bracketing,
+cautious updates, stopping tests — lbfgs.hpp semantics); short-horizon
+iterate-path parity and full-convergence basin equivalence are asserted in
+tests/test_megakernel.py (different reduction graphs drift apart in float
+after ~20 iterations — see the test docstrings). Any gear-segment count S
+is supported (kcost handles junction overrides); measured hardware numbers
+and the Mosaic lowering constraints that shaped this file are in PERF.md.
 """
 
 from __future__ import annotations
