@@ -138,10 +138,14 @@ def main():
     # multi-gear (S=2 reverse-park class) throughput from real front-end
     # geometry — the reference's flagship workload (traj_manager.cpp:160-238
     # parking = gear reversals); rounds engine (fused kernel weights are
-    # per-class; rounds shares its math)
+    # per-class; rounds shares its math). N=4 class: the reference adapts
+    # piece counts per segment (max(round(dur/1s), 2)), and over-piecing the
+    # short reversal segment onto N=8 stalls the warm start (success 0.65 at
+    # N=8 vs 0.83 at N=4 measured); per-segment piece classes are the
+    # remaining gap.
     multigear_fields = {}
     if os.environ.get("BENCH_MULTIGEAR", "1") == "1" and source != "frontend":
-        dims2 = Dims(S=2, N=8, K=16, Kdes=32, H=4, O=2, Po=8)
+        dims2 = Dims(S=2, N=4, K=16, Kdes=32, H=4, O=2, Po=8)
         B2 = min(B, 512)
         fb2 = jax.tree.map(jnp.asarray,
                            _frontend_batch_cached(dims2, B2, seed=11))
