@@ -170,9 +170,10 @@ def _host_constants(N: int, K: int, Kdes: int):
                     [120.0, 360.0, 720.0]])
     for n in range(N):
         J[6 * n + 3:6 * n + 6, 6 * n + 3:6 * n + 6] = blk
-    Q = M.T @ J @ M                                    # [13, 13]
-    Qp = np.zeros((DP, Q.shape[1]))
-    Qp[:13] = Q
+    Q = M.T @ J @ M                                    # [N+5, N+5]
+    ncols = M.shape[1]
+    Qp = np.zeros((max(16, _pad8(ncols)), ncols))
+    Qp[:ncols] = Q
     omg_eff = (grid.omg * grid.inv_k[:, None] * grid.pen_mask).reshape(R, 1)
     frac = grid.frac.reshape(R, 1)
     gridc = np.stack([omg_eff, frac])                  # [2, R, 1]
@@ -362,7 +363,7 @@ def _smooth_from_vals(vals, sc: KScenario, kc: KConsts, sw: StaticW,
     rhs_x, rhs_y, dTs, _tts, T = vals
     S = dims.S
     dtype = rhs_x[0].dtype
-    Q = kc.Q[:13]
+    Q = kc.Q[:rhs_x[0].shape[0]]                       # [N+5, N+5]
     f = 0.0
     for seg in range(S):
         invdT = 1.0 / dTs[seg]
