@@ -11,7 +11,8 @@ entry points (bench.py, __graft_entry__.py) still run on the real TPU.
 import os
 import sys
 
-if os.environ.get("DFTPAV_TESTS_REEXECED") != "1" and (
+if (os.environ.get("DFTPAV_TESTS_REEXECED") != "1"
+        and os.environ.get("DFTPAV_HW_TESTS") != "1") and (
     os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu")
     or ".axon_site" in os.environ.get("PYTHONPATH", "")
 ):

@@ -1,0 +1,61 @@
+"""Hardware (non-interpret) smoke test for the whole-solve Pallas kernel.
+
+The interpret-mode tests in test_megakernel.py validate semantics but not
+Mosaic lowering, VMEM fit, or speed; this file compiles and runs the REAL
+kernel. It is skipped under the CPU test environment (tests/conftest.py
+re-execs the suite with JAX_PLATFORMS=cpu) and runs when invoked in the
+TPU env:
+
+    DFTPAV_HW_TESTS=1 python -m pytest tests/test_fused_hw.py -q --no-header
+
+(plain `python -m pytest` keeps working everywhere — the skip guard keys
+on the resolved backend, not the env var; the var only stops conftest's
+CPU re-exec.)
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _backend() -> str:
+    try:
+        return jax.default_backend()
+    except Exception:
+        return "none"
+
+
+requires_tpu = pytest.mark.skipif(
+    _backend() not in ("tpu", "axon"),
+    reason="real-TPU smoke (run via DFTPAV_HW_TESTS=1 in the TPU env)")
+
+
+@requires_tpu
+def test_fused_kernel_hardware_smoke():
+    from dftpav_tpu import scenarios, solver
+    from dftpav_tpu.config import PlannerConfig
+    from dftpav_tpu.types import Dims, weights_from_config
+
+    cfg = PlannerConfig()
+    dims = Dims(S=1, N=8, K=16, Kdes=32, H=4, O=2, Po=8)
+    B = 128
+    scens = scenarios.batch_scenarios(dims, B, seed=7, dtype=np.float32,
+                                      n_obstacles=2)
+    w = weights_from_config(cfg.opt, dtype=jnp.float32)
+    batch = jax.tree.map(jnp.asarray, scens)
+
+    fused = solver.make_solver(cfg, dims, max_iterations=60, engine="fused")
+    res = fused(batch, w)
+    cost = np.asarray(res.cost)            # host readback = real sync
+    succ = np.asarray(res.success.astype(jnp.int32))
+
+    ref = solver.make_solver(cfg, dims, max_iterations=60, engine="bminor")
+    res_ref = ref(batch, w)
+    cost_ref = np.asarray(res_ref.cost)
+
+    assert succ.mean() >= 0.99
+    # same basin as the golden-tested engine on the same fixtures
+    assert abs(np.median(cost) - np.median(cost_ref)) \
+        <= 0.02 * np.median(cost_ref)
