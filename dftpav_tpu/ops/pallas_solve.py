@@ -421,21 +421,55 @@ def solve_batch_rounds(batch: Scenario, w: Weights, dims: Dims,
 
 def solve_batch_fused(batch: Scenario, w: Weights, dims: Dims,
                       cfg: PlannerConfig, max_iterations: int | None = None,
-                      tb: int = 128, interpret: bool = False) -> SolveResult:
+                      tb: int = 128, interpret: bool = False,
+                      x0_override=None, return_x: bool = False,
+                      mxu_precision: str = "float32"):
     """Drop-in equivalent of solver.solve_batch_bminor on the fused kernel.
 
     batch: Scenario with leading [B] (B % tb == 0). Weights must be
     concrete (compile-time) values — the kernel bakes them in.
+    x0_override ([dp_of(dims), B]) warm-starts from a packed decision
+    matrix (used by the mixed-precision two-phase solve); return_x adds
+    the final packed decision matrix to the return.
+    mxu_precision="float32" (default) forces bf16x3 matmuls — the bf16 MXU
+    default degrades the line search (measured: cost p50 5750 vs 4361,
+    premature STOP at 21 iters); "bfloat16" keeps the fast path for the
+    exploration phase of solve_batch_fused_mixed.
     """
-    with jax.default_matmul_precision("float32"):
-        # MXU default bf16 truncation inside the kernel's dot_generals
-        # degrades the line search (measured: cost p50 5750 vs 4361, stops
-        # at 21 iters); bf16x3 restores f32-true matmuls on tiny operands
-        return _solve_batch_fused(batch, w, dims, cfg, max_iterations, tb,
-                                  interpret)
+    if mxu_precision == "float32":
+        with jax.default_matmul_precision("float32"):
+            return _solve_batch_fused(batch, w, dims, cfg, max_iterations,
+                                      tb, interpret, x0_override, return_x)
+    return _solve_batch_fused(batch, w, dims, cfg, max_iterations, tb,
+                              interpret, x0_override, return_x)
 
 
-def _solve_batch_fused(batch, w, dims, cfg, max_iterations, tb, interpret):
+def solve_batch_fused_mixed(batch: Scenario, w: Weights, dims: Dims,
+                            cfg: PlannerConfig,
+                            max_iterations: int | None = None,
+                            tb: int = 128,
+                            phase1_iterations: int | None = None
+                            ) -> SolveResult:
+    """Two-phase fused solve: bf16 exploration + f32 refinement.
+
+    Phase 1 runs the kernel with default (bf16) MXU matmuls — ~4x faster
+    per round but noisy enough to stop early in slightly-off basins
+    (PERF.md) — and phase 2 restarts L-BFGS in f32 from phase 1's iterate,
+    converging in few rounds. Costs one extra kernel launch and compile
+    class; quality gates (success, cost p50) must match the pure-f32 solve.
+    """
+    p = cfg.opt.lbfgs
+    mi = p.max_iterations if max_iterations is None else max_iterations
+    p1 = max(mi // 3, 20) if phase1_iterations is None else phase1_iterations
+    _res1, x1 = solve_batch_fused(batch, w, dims, cfg, max_iterations=p1,
+                                  tb=tb, return_x=True,
+                                  mxu_precision="bfloat16")
+    return solve_batch_fused(batch, w, dims, cfg, max_iterations=mi, tb=tb,
+                             x0_override=x1)
+
+
+def _solve_batch_fused(batch, w, dims, cfg, max_iterations, tb, interpret,
+                       x0_override=None, return_x=False):
     dtype = jnp.float32 if not interpret else batch.init_T.dtype
     B = batch.ini_state.shape[0]
     assert B % tb == 0, (B, tb)
@@ -443,6 +477,8 @@ def _solve_batch_fused(batch, w, dims, cfg, max_iterations, tb, interpret):
     max_iter = p.max_iterations if max_iterations is None else max_iterations
     sw = StaticW.build(w, cfg)
     batch, x0p, sc, kc, D = _prep(batch, w, dims, cfg, dtype)
+    if x0_override is not None:
+        x0p = jnp.asarray(x0_override, dtype)
 
     def lane_spec(shape):
         nlead = len(shape)
@@ -485,5 +521,6 @@ def _solve_batch_fused(batch, w, dims, cfg, max_iterations, tb, interpret):
     )(x0p, sc.bnd, sc.misc, sc.corr_n, sc.corr_p, sc.corr_m, sc.obs_c,
       kc.P, kc.Q, kc.gridc)
 
-    return _finalize(batch, x_out, stats[0], stats[1].astype(jnp.int32),
-                     stats[2].astype(jnp.int32), w, dims, cfg, D)
+    res = _finalize(batch, x_out, stats[0], stats[1].astype(jnp.int32),
+                    stats[2].astype(jnp.int32), w, dims, cfg, D)
+    return (res, x_out) if return_x else res

@@ -135,10 +135,11 @@ def make_solver(cfg: PlannerConfig, dims: Dims,
       "rounds": asynchronous-lane round loop (ops/pallas_solve) as plain
           XLA — each round advances every active lane by one objective
           evaluation, so the batch pays mean (not max) line-search trials.
-          S == 1 class.
       "fused": the whole-solve Pallas kernel (one VMEM-resident program per
-          128-lane tile). Weights are baked in at compile time (retraces
-          per distinct weight set). S == 1 class.
+          128-lane tile; the bench headline). Weights are baked in at
+          compile time (retraces per distinct weight set).
+      "fused-mixed": two-phase fused solve — bf16 exploration + f32
+          refinement (see solve_batch_fused_mixed).
       "vmap": the readable per-scenario reference path.
     """
     if engine != "vmap" and getattr(cfg.opt, "ref_gradient_compat", False):
@@ -146,16 +147,19 @@ def make_solver(cfg: PlannerConfig, dims: Dims,
             "ref_gradient_compat (the reference's cross-segment time-grad "
             "quirk) is implemented only by the per-scenario engine; use "
             "make_solver(..., engine='vmap')")
-    if engine == "fused":
-        from dftpav_tpu.ops.pallas_solve import solve_batch_fused
+    if engine in ("fused", "fused-mixed"):
+        from dftpav_tpu.ops.pallas_solve import (solve_batch_fused,
+                                                 solve_batch_fused_mixed)
         import numpy as _np
+        impl = (solve_batch_fused_mixed if engine == "fused-mixed"
+                else solve_batch_fused)
         compiled = {}
 
         def fused(batch, w):
             key = tuple(float(_np.asarray(v)) for v in w)
             if key not in compiled:
                 wk = w
-                compiled[key] = jax.jit(lambda b: solve_batch_fused(
+                compiled[key] = jax.jit(lambda b: impl(
                     b, wk, dims=dims, cfg=cfg,
                     max_iterations=max_iterations))
             return compiled[key](batch)
