@@ -137,20 +137,23 @@ def main():
 
     # multi-gear (S=2 reverse-park class) throughput from real front-end
     # geometry — the reference's flagship workload (traj_manager.cpp:160-238
-    # parking = gear reversals); rounds engine (fused kernel weights are
-    # per-class; rounds shares its math). N=4 class: the reference adapts
-    # piece counts per segment (max(round(dur/1s), 2)), and over-piecing the
-    # short reversal segment onto N=8 stalls the warm start (success 0.65 at
-    # N=8 vs 0.83 at N=4 measured); per-segment piece classes are the
-    # remaining gap.
+    # parking = gear reversals), on the fused kernel (3,412 solves/s vs the
+    # rounds engine's 729 at identical success, measured). N=4 class: the
+    # reference adapts piece counts per segment (max(round(dur/1s), 2)), and
+    # over-piecing the short reversal segment onto N=8 stalls the warm start
+    # (success 0.65 at N=8 vs 0.83 at N=4 measured); success ~0.8 reflects
+    # that remaining per-segment-piece-class gap — the compiled C++
+    # reference fails a comparable share on identical uniform-N inputs
+    # (PERF.md).
     multigear_fields = {}
     if os.environ.get("BENCH_MULTIGEAR", "1") == "1" and source != "frontend":
         dims2 = Dims(S=2, N=4, K=16, Kdes=32, H=4, O=2, Po=8)
         B2 = min(B, 512)
         fb2 = jax.tree.map(jnp.asarray,
                            _frontend_batch_cached(dims2, B2, seed=11))
-        solve2 = solver.make_solver(cfg, dims2, max_iterations=max_iter,
-                                    engine="rounds")
+        solve2 = solver.make_solver(
+            cfg, dims2, max_iterations=max_iter,
+            engine=os.environ.get("BENCH_MULTIGEAR_ENGINE", "fused"))
         res2 = solve2(fb2, w)
         _ = np.asarray(res2.cost)
         t2 = time.time()

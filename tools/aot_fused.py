@@ -26,11 +26,19 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     max_iter = int(sys.argv[2]) if len(sys.argv) > 2 else 50
     tb = int(sys.argv[3]) if len(sys.argv) > 3 else 128
+    S = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    N = int(sys.argv[5]) if len(sys.argv) > 5 else 8
 
     cfg = PlannerConfig()
-    dims = Dims(S=1, N=8, K=16, Kdes=32, H=4, O=2, Po=8)
-    scens = scenarios.batch_scenarios(dims, B, seed=7, dtype=np.float32,
-                                      n_obstacles=2)
+    dims = Dims(S=S, N=N, K=16, Kdes=32, H=4, O=2, Po=8)
+    if S == 1:
+        scens = scenarios.batch_scenarios(dims, B, seed=7, dtype=np.float32,
+                                          n_obstacles=2)
+    else:
+        scens = scenarios.stack_scenarios(
+            [jax.tree.map(lambda a: np.asarray(a, np.float32)
+                          if np.asarray(a).dtype == np.float64 else a,
+                          scenarios.gear_scenario(dims))] * B)
     w = weights_from_config(cfg.opt, dtype=jnp.float32)
 
     topo = topologies.get_topology_desc(platform="tpu",
