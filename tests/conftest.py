@@ -25,12 +25,17 @@ if (os.environ.get("DFTPAV_TESTS_REEXECED") != "1"
     os.execve(sys.executable,
               [sys.executable, "-m", "pytest", *sys.argv[1:]], env)
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+if os.environ.get("DFTPAV_HW_TESTS") == "1":
+    # hardware-test mode (tests/test_fused_hw.py): keep the real TPU
+    # backend and f32 — only the hardware-gated tests run meaningfully
+    import jax  # noqa: E402
+else:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
-import jax  # noqa: E402
+    import jax  # noqa: E402
 
-jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_enable_x64", True)

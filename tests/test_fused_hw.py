@@ -46,12 +46,16 @@ def test_fused_kernel_hardware_smoke():
     w = weights_from_config(cfg.opt, dtype=jnp.float32)
     batch = jax.tree.map(jnp.asarray, scens)
 
-    fused = solver.make_solver(cfg, dims, max_iterations=60, engine="fused")
+    # 150-iteration budget: the engines only share a basin at convergence
+    # (intermediate iterates diverge between float paths)
+    fused = solver.make_solver(cfg, dims, max_iterations=150,
+                               engine="fused")
     res = fused(batch, w)
     cost = np.asarray(res.cost)            # host readback = real sync
     succ = np.asarray(res.success.astype(jnp.int32))
 
-    ref = solver.make_solver(cfg, dims, max_iterations=60, engine="bminor")
+    ref = solver.make_solver(cfg, dims, max_iterations=150,
+                             engine="bminor")
     res_ref = ref(batch, w)
     cost_ref = np.asarray(res_ref.cost)
 
