@@ -39,6 +39,8 @@ def _frontend_batch_cached(dims, B, seed):
 
     key = f"frontend_b{B}_s{seed}_S{dims.S}N{dims.N}K{dims.K}" \
           f"{dims.Kdes}O{dims.O}"
+    if dims.Ns is not None:
+        key += "Ns" + "-".join(str(n) for n in dims.Ns)
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         ".bench_cache", key + ".npz")
     if os.path.exists(path):
@@ -104,10 +106,12 @@ def main():
     # warm-started receding-horizon replans (the reference's actual 20 Hz
     # workload, traj_server_ros.cpp:406-501): iterate counts collapse ~3x
     # and a replan budget of 50 iterations matches the reference's
-    # Budget-bounded replan semantics (traj_server_ros.cpp:474)
+    # Budget-bounded replan semantics (traj_server_ros.cpp:474). The stream
+    # runs the SAME engine as the headline (the warm guess rides in the
+    # rewritten scenario, so the fused kernel warm-starts too).
     from dftpav_tpu import replan as replan_mod
     rp = replan_mod.make_replanner(cfg, dims, dt_shift=0.1,
-                                   max_iterations=50)
+                                   max_iterations=50, engine=engine)
     b1, r1 = rp(batch, res, w)
     _ = np.asarray(r1.cost)
     t0 = time.time()

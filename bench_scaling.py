@@ -32,6 +32,10 @@ def main(argv=None):
     ap.add_argument("--batch-per-device", type=int, default=64)
     ap.add_argument("--max-iter", type=int, default=60)
     ap.add_argument("--mesh-sizes", type=str, default="")
+    ap.add_argument("--engine", type=str, default="bminor",
+                    help="per-shard solver engine (bminor/rounds/fused; "
+                    "fused needs a TPU backend and batch-per-device % 128"
+                    " == 0)")
     args = ap.parse_args(argv)
 
     from dftpav_tpu import parallel, scenarios
@@ -55,7 +59,9 @@ def main(argv=None):
         batch = jax.tree.map(jnp.asarray, scens)
         mesh = parallel.make_mesh(devs[:d])
         fn = parallel.make_sharded_solver(mesh, cfg, dims,
-                                          max_iterations=args.max_iter)
+                                          max_iterations=args.max_iter,
+                                          engine=args.engine,
+                                          weights=w)
         res, metrics = fn(batch, w)
         _ = float(np.asarray(metrics["n_solved"]))  # sync / compile
         best = float("inf")
@@ -66,7 +72,7 @@ def main(argv=None):
             best = min(best, time.time() - t0)
         line = dict(devices=d, batch=B, wall_s=round(best, 3),
                     solves_per_s=round(B / best, 1),
-                    success_rate=round(n_ok / B, 4))
+                    success_rate=round(n_ok / B, 4), engine=args.engine)
         results.append(line)
         print(json.dumps(line))
 

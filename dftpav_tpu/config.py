@@ -171,6 +171,13 @@ class FrontendConfig:
     non_siguav: float = 0.2
     collision_margin: float = 0.2   # vehicle inflation for A* checks (kino_astar.cpp:426)
     sample_time: float = 0.1        # resample period for flat traj (kino_astar.cpp:683)
+    # yaw-keyed node dedup (the reference's use3d first attempt,
+    # traj_manager.cpp:85-93; yaw-indexed node table kino_astar.cpp:71-74,
+    # 191-194): states reaching a cell at different headings stay distinct,
+    # which keeps the heading-multiplicity maneuvers tight parking needs.
+    # The native planner falls back to the 2D key when the 3D search fails,
+    # exactly like the reference's retry.
+    use3d: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

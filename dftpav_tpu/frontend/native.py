@@ -184,6 +184,7 @@ class KinoAstarPlanner:
             c.max_frontend_backward_acc,
             c.non_siguav,
             c.sample_time,
+            1.0 if c.use3d else 0.0,
         ], dtype=np.float64)
 
     def plan(self, start, end, start_ctrl=(0.0, 0.0)):

@@ -116,6 +116,35 @@ def maps_as(N: int, dtype):
     return tuple(jnp.asarray(m, dtype) for m in minco_maps(N))
 
 
+@functools.lru_cache(maxsize=None)
+def subdivision_matrix(r: int) -> np.ndarray:
+    """A [r, 6, 6] with A[i] mapping a piece's normalized coeffs to the
+    normalized coeffs of its i-th of r equal sub-pieces (exact: a quintic
+    re-based on a sub-interval is the same quintic).
+
+    p(tau) = sum_k b_k tau^k with tau = (i + u)/r gives sub-coeffs
+    b'_m = sum_{k>=m} C(k,m) i^{k-m} r^-k b_k on local u in [0, 1]; used to
+    emit per-segment piece-class solutions (Dims.Ns) on the class-uniform
+    N-piece output grid."""
+    from math import comb
+    A = np.zeros((r, 6, 6))
+    for i in range(r):
+        for m in range(6):
+            for k in range(m, 6):
+                A[i, m, k] = comb(k, m) * float(i) ** (k - m) / float(r) ** k
+    return A
+
+
+def subdivide(b: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Re-express [n, 6, 2] normalized coeffs (piece duration dT) as
+    [n*r, 6, 2] on sub-pieces of duration dT/r. Exact polynomial identity."""
+    if r == 1:
+        return b
+    A = jnp.asarray(subdivision_matrix(r), b.dtype)
+    out = jnp.einsum("imk,qkd->qimd", A, b)
+    return out.reshape(b.shape[0] * r, 6, 2)
+
+
 def real_coeffs(b: jnp.ndarray, dT: jnp.ndarray) -> jnp.ndarray:
     """Normalized [N,6,2] -> real-time coefficients c[k] = b[k] / dT^k."""
     k = jnp.arange(6, dtype=b.dtype)

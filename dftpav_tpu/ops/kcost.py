@@ -60,6 +60,16 @@ def chunk_rows(R: int) -> int:
     return R
 
 
+def seg_chunks(dims: Dims, seg: int) -> int:
+    """Chunks needed to cover segment `seg`'s real sample rows (short
+    segments' padded rows carry zero quadrature weight, so chunks past
+    ceil(n_s*K1 / CH) are pure zeros and are skipped)."""
+    R = dims.N * dims.K1
+    CH = chunk_rows(R)
+    r_s = dims.ns_tuple[seg] * dims.K1
+    return -(-r_s // CH)
+
+
 def dp_of(dims: Dims) -> int:
     """Padded decision-variable rows (sublane multiple of 8)."""
     return max(_pad8(dims.dim), 16)
@@ -127,11 +137,17 @@ class StaticW:
 
 
 class KConsts(NamedTuple):
-    """Shared (lane-independent) constants, passed once per kernel program."""
+    """Shared (lane-independent) constants, passed once per kernel program.
 
-    P: jnp.ndarray        # [3, R, 13] sample maps for orders 0..2
-    Q: jnp.ndarray        # [16, 13]   jerk quadratic form (rows 13..15 zero)
-    gridc: jnp.ndarray    # [2, R, 1]  rows: omg*inv_k (0 on masked), frac
+    Per-SEGMENT leading axis: segment s's maps are built for its own piece
+    count dims.ns_tuple[s] (the reference's adaptive piecing,
+    traj_manager.cpp:543) and zero-padded to the class's uniform sample
+    rows R = N*K1 and rhs rows C = N+5 — padded sample rows carry zero
+    quadrature weight, padded rhs rows multiply zero columns."""
+
+    P: jnp.ndarray        # [S, 3, R, C] sample maps for orders 0..2
+    Q: jnp.ndarray        # [S, Cq, C]   jerk quadratic form (padded rows 0)
+    gridc: jnp.ndarray    # [S, 2, R, 1] rows: omg*inv_k (0 on masked), frac
 
 
 class KScenario(NamedTuple):
@@ -150,40 +166,49 @@ class KScenario(NamedTuple):
 
 
 @functools.lru_cache(maxsize=None)
-def _host_constants(N: int, K: int, Kdes: int):
-    grid = sample_grid(N, K, Kdes)
+def _host_constants(n_s: int, N: int, K: int, Kdes: int):
+    """Sample maps / jerk form / quadrature rows for ONE segment with n_s
+    pieces, zero-padded to the class's R = N*K1 rows and C = N+5 rhs rows
+    (n_s == N reproduces the uniform round-3 constants exactly)."""
+    grid = sample_grid(n_s, K, Kdes)
     K1 = grid.tau.shape[1]
-    R = N * K1
-    Mh, Mi, Mt = minco.minco_maps(N)
-    M = np.concatenate([Mh, Mi, Mt], axis=1)           # [6N, 13]
-    P = np.zeros((3, R, M.shape[1]))
+    R_s, R = n_s * K1, N * K1
+    C = N + 5
+    Mh, Mi, Mt = minco.minco_maps(n_s)
+    M = np.concatenate([Mh, Mi, Mt], axis=1)           # [6n, n+5]
+    P = np.zeros((3, R, C))
     for o in range(3):
-        beta = grid.beta[o]                            # [N, K1, 6]
-        big = np.zeros((R, 6 * N))
-        for n in range(N):
+        beta = grid.beta[o]                            # [n, K1, 6]
+        big = np.zeros((R_s, 6 * n_s))
+        for n in range(n_s):
             big[n * K1:(n + 1) * K1, 6 * n:6 * n + 6] = beta[n]
-        P[o] = big @ M
+        P[o, :R_s, :n_s + 5] = big @ M
     # jerk quadratic form: E = dT^-5 * rhs^T (M^T J M) rhs per dimension
-    J = np.zeros((6 * N, 6 * N))
+    J = np.zeros((6 * n_s, 6 * n_s))
     blk = np.array([[36.0, 72.0, 120.0],
                     [72.0, 192.0, 360.0],
                     [120.0, 360.0, 720.0]])
-    for n in range(N):
+    for n in range(n_s):
         J[6 * n + 3:6 * n + 6, 6 * n + 3:6 * n + 6] = blk
-    Q = M.T @ J @ M                                    # [N+5, N+5]
-    ncols = M.shape[1]
-    Qp = np.zeros((max(16, _pad8(ncols)), ncols))
-    Qp[:ncols] = Q
-    omg_eff = (grid.omg * grid.inv_k[:, None] * grid.pen_mask).reshape(R, 1)
-    frac = grid.frac.reshape(R, 1)
+    Q = M.T @ J @ M                                    # [n+5, n+5]
+    Qp = np.zeros((max(16, _pad8(C)), C))
+    Qp[:n_s + 5, :n_s + 5] = Q
+    omg_eff = np.zeros((R, 1))
+    omg_eff[:R_s] = (grid.omg * grid.inv_k[:, None]
+                     * grid.pen_mask).reshape(R_s, 1)
+    frac = np.zeros((R, 1))
+    frac[:R_s] = grid.frac.reshape(R_s, 1)
     gridc = np.stack([omg_eff, frac])                  # [2, R, 1]
     return P, Qp, gridc
 
 
 def make_consts(dims: Dims, dtype=jnp.float32) -> KConsts:
-    P, Q, gridc = _host_constants(dims.N, dims.K, dims.Kdes)
-    return KConsts(P=jnp.asarray(P, dtype), Q=jnp.asarray(Q, dtype),
-                   gridc=jnp.asarray(gridc, dtype))
+    per_seg = [_host_constants(n_s, dims.N, dims.K, dims.Kdes)
+               for n_s in dims.ns_tuple]
+    return KConsts(
+        P=jnp.asarray(np.stack([c[0] for c in per_seg]), dtype),
+        Q=jnp.asarray(np.stack([c[1] for c in per_seg]), dtype),
+        gridc=jnp.asarray(np.stack([c[2] for c in per_seg]), dtype))
 
 
 def prep_scenario(batch, dims: Dims, dtype=jnp.float32) -> KScenario:
@@ -288,6 +313,35 @@ def _dotc(A, Bm, dtype):
                                preferred_element_type=dtype)
 
 
+def _dot3(A, Bm, dtype):
+    """3-pass bf16-split matmul: ~f32 product precision at half the cost of
+    Mosaic's fp32 contract (which the TPU MXU implements as ~6 bf16 passes).
+
+    Dekker-style operand split: a = a_hi + a_lo with a_hi = bf16(a) (top 8
+    mantissa bits) and a_lo = bf16(a - a_hi) (next 8); the a_lo*b_lo term
+    (~2^-32 relative) is dropped. Result error ~2^-17 relative — far below
+    every tolerance in the solver (past-delta 1e-4, g_epsilon) — vs ~2^-8
+    for a single bf16 pass, which is what broke the line search (PERF.md:
+    cost p50 +32%, premature STOP). Each pass is a native-rate bf16 MXU
+    matmul with f32 accumulation (explicit DEFAULT precision overrides any
+    ambient float32 forcing)."""
+    prec = jax.lax.Precision.DEFAULT
+    dot = lambda p, q: jax.lax.dot_general(
+        p, q, (((1,), (0,)), ((), ())), preferred_element_type=dtype,
+        precision=prec)
+    a_hi = A.astype(jnp.bfloat16)
+    a_lo = (A - a_hi.astype(dtype)).astype(jnp.bfloat16)
+    b_hi = Bm.astype(jnp.bfloat16)
+    b_lo = (Bm - b_hi.astype(dtype)).astype(jnp.bfloat16)
+    return dot(a_hi, b_hi) + (dot(a_hi, b_lo) + dot(a_lo, b_hi))
+
+
+def _dotx(A, Bm, dtype, mxu: str):
+    """Objective-matmul dispatch: "x3" -> 3-pass split; anything else ->
+    plain dot under the ambient matmul-precision context."""
+    return _dot3(A, Bm, dtype) if mxu == "x3" else _dotc(A, Bm, dtype)
+
+
 def _pre(x, sc: KScenario, sw: StaticW, dims: Dims):
     """Decision vector -> per-segment solver inputs.
 
@@ -318,10 +372,12 @@ def _pre(x, sc: KScenario, sw: StaticW, dims: Dims):
     ga = [x[n_in + S + 2 * (S - 1) + j] for j in range(S - 1)]
     jm = [sc.misc[S + s] > 0.5 for s in range(S)]        # seg_mask as bool
 
+    ns = dims.ns_tuple
     rhs_x, rhs_y, dTs, tts = [], [], [], []
     trajtime = jnp.zeros_like(T[0])
     for seg in range(S):
-        dT = T[seg] / N
+        n_seg = ns[seg]
+        dT = T[seg] / n_seg
         dT2 = dT * dT
         base = 12 * seg
 
@@ -343,9 +399,14 @@ def _pre(x, sc: KScenario, sw: StaticW, dims: Dims):
                 gdir = jnp.cos(ga[j]) if d == 0 else jnp.sin(ga[j])
                 tp = jnp.where(jm[seg + 1], x[gp_row(j, d)], tp)
                 tv = jnp.where(jm[seg + 1], sw.non_sinv * gdir, tv)
+            # segment uses its own piece count: n_seg - 1 inner waypoints
+            # from the segment's packed slots, rhs zero-padded to the
+            # class-uniform C = N + 5 rows (P's padded columns are zero)
             rows = [hp, hv * dT, ha * dT2]
-            rows += [x[2 * ((N - 1) * seg + jj) + d] for jj in range(N - 1)]
+            rows += [x[2 * ((N - 1) * seg + jj) + d]
+                     for jj in range(n_seg - 1)]
             rows += [tp, tv * dT, ta * dT2]
+            rows += [jnp.zeros_like(hp)] * (N - n_seg)
             return jnp.stack(rows)
 
         rhs_x.append(rhs_dim(0))
@@ -358,17 +419,19 @@ def _pre(x, sc: KScenario, sw: StaticW, dims: Dims):
 
 
 def _smooth_from_vals(vals, sc: KScenario, kc: KConsts, sw: StaticW,
-                      dims: Dims):
+                      dims: Dims, mxu: str = "f32"):
     """Jerk energy + time cost from _pre outputs, seg-mask weighted."""
     rhs_x, rhs_y, dTs, _tts, T = vals
     S = dims.S
     dtype = rhs_x[0].dtype
-    Q = kc.Q[:rhs_x[0].shape[0]]                       # [N+5, N+5]
     f = 0.0
     for seg in range(S):
+        Q = kc.Q[seg][:rhs_x[0].shape[0]]              # [N+5, N+5]
         invdT = 1.0 / dTs[seg]
-        jerk = (jnp.sum(rhs_x[seg] * _dotc(Q, rhs_x[seg], dtype), axis=0)
-                + jnp.sum(rhs_y[seg] * _dotc(Q, rhs_y[seg], dtype), axis=0)
+        jerk = (jnp.sum(rhs_x[seg] * _dotx(Q, rhs_x[seg], dtype, mxu),
+                        axis=0)
+                + jnp.sum(rhs_y[seg] * _dotx(Q, rhs_y[seg], dtype, mxu),
+                          axis=0)
                 ) * invdT ** 5
         segw = sc.misc[S + seg] if S > 1 else 1.0
         f = f + segw * (jerk + sw.wei_time * T[seg])
@@ -376,7 +439,7 @@ def _smooth_from_vals(vals, sc: KScenario, kc: KConsts, sw: StaticW,
 
 
 def _make_chunk_fn(sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
-                   seg: int):
+                   seg: int, mxu: str = "f32"):
     """Penalty integrand for one CH-row chunk of one segment.
 
     Returns fn(c, rhs_x [13, TB], rhs_y, dT [TB], tt [TB]) -> cost [TB]
@@ -386,8 +449,8 @@ def _make_chunk_fn(sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
     S, N, K1, H, O, Po = dims.S, dims.N, dims.K1, dims.H, dims.O, dims.Po
     R = N * K1
     CH = chunk_rows(R)
-    omg_eff = kc.gridc[0]                                # [R, 1]
-    frac = kc.gridc[1]
+    omg_eff = kc.gridc[seg, 0]                           # [R, 1]
+    frac = kc.gridc[seg, 1]
     alpha = sw.lse_alpha
     d_min = sw.surround_clearance + float(np.log(8.0)) / alpha
     E = len(sw.le)
@@ -408,18 +471,19 @@ def _make_chunk_fn(sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
             dsl = lambda a: jax.lax.dynamic_slice_in_dim(a, row0, CH, 0)
             crs = lambda a, ax: jax.lax.dynamic_slice_in_dim(
                 a, segR + row0, CH, ax)
-        P0c, P1c, P2c = dsl(kc.P[0]), dsl(kc.P[1]), dsl(kc.P[2])
+        P0c, P1c, P2c = (dsl(kc.P[seg, 0]), dsl(kc.P[seg, 1]),
+                         dsl(kc.P[seg, 2]))
         omg_c = dsl(omg_eff)                             # [CH, 1]
         frac_c = dsl(frac)
 
-        sig_x = _dotc(P0c, rhs_x, dtype)                 # [CH, TB]
-        sig_y = _dotc(P0c, rhs_y, dtype)
+        sig_x = _dotx(P0c, rhs_x, dtype, mxu)            # [CH, TB]
+        sig_y = _dotx(P0c, rhs_y, dtype, mxu)
         invdTr = (1.0 / dTc)[None]
-        dsx = _dotc(P1c, rhs_x, dtype) * invdTr
-        dsy = _dotc(P1c, rhs_y, dtype) * invdTr
+        dsx = _dotx(P1c, rhs_x, dtype, mxu) * invdTr
+        dsy = _dotx(P1c, rhs_y, dtype, mxu) * invdTr
         dd = invdTr * invdTr
-        ddx = _dotc(P2c, rhs_x, dtype) * dd
-        ddy = _dotc(P2c, rhs_y, dtype) * dd
+        ddx = _dotx(P2c, rhs_x, dtype, mxu) * dd
+        ddy = _dotx(P2c, rhs_y, dtype, mxu) * dd
 
         vn2 = dsx * dsx + dsy * dsy
         valid = (omg_c > 0.0) & (vn2 >= 1e-8)            # |dsig| >= 1e-4
@@ -596,7 +660,8 @@ def _make_chunk_fn(sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
     return chunk_cost
 
 
-def eval_cost(x, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims):
+def eval_cost(x, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
+              mxu: str = "f32"):
     """Scaled objective per lane: x [dp_of(dims), TB] -> f [TB].
 
     Pure jnp on values — identical trace inside the Pallas kernel and in
@@ -609,13 +674,11 @@ def eval_cost(x, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims):
     chunks (see _make_chunk_fn / eval_fg).
     """
     S = dims.S
-    R = dims.N * dims.K1
-    n_chunks = R // chunk_rows(R)
     vals = _pre(x, sc, sw, dims)
     rhs_x, rhs_y, dTs, tts, _T = vals
-    f = _smooth_from_vals(vals, sc, kc, sw, dims)
+    f = _smooth_from_vals(vals, sc, kc, sw, dims, mxu)
     for seg in range(S):
-        fn = _make_chunk_fn(sc, kc, sw, dims, seg)
+        fn = _make_chunk_fn(sc, kc, sw, dims, seg, mxu)
         segw = sc.misc[S + seg] if S > 1 else 1.0
 
         def body(carry, _):
@@ -625,13 +688,13 @@ def eval_cost(x, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims):
 
         (pen, _), _ = jax.lax.scan(
             body, (jnp.zeros_like(f), jnp.asarray(0, jnp.int32)), None,
-            length=n_chunks)
+            length=seg_chunks(dims, seg))
         f = f + segw * pen
     return sw.cost_scale * f
 
 
 def eval_fg(x, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
-            unroll_chunks: bool = False):
+            unroll_chunks: bool = False, mxu: str = "f32"):
     """(f [TB], g [dp, TB]) with the gradient assembled chunk-by-chunk.
 
     jax.vjp(eval_cost) would stack every chunk's residuals through the scan
@@ -643,8 +706,6 @@ def eval_fg(x, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
     tests/test_megakernel.py).
     """
     S = dims.S
-    R = dims.N * dims.K1
-    n_chunks = R // chunk_rows(R)
     dtype = x.dtype
 
     vals, vjp_pre = jax.vjp(lambda xv: _pre(xv, sc, sw, dims), x)
@@ -652,14 +713,14 @@ def eval_fg(x, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
 
     ones = jnp.ones(x.shape[-1:], dtype)
     fs, vjp_s = jax.vjp(
-        lambda v: _smooth_from_vals(v, sc, kc, sw, dims), vals)
+        lambda v: _smooth_from_vals(v, sc, kc, sw, dims, mxu), vals)
     cots = vjp_s(ones)[0]
     f = fs
 
     crx, cry, cdt, ctt = (list(cots[0]), list(cots[1]), list(cots[2]),
                           list(cots[3]))
     for seg in range(S):
-        fn = _make_chunk_fn(sc, kc, sw, dims, seg)
+        fn = _make_chunk_fn(sc, kc, sw, dims, seg, mxu)
         segw = sc.misc[S + seg] if S > 1 else ones
 
         def body(c, carry):
@@ -674,6 +735,7 @@ def eval_fg(x, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
         zero = (jnp.zeros_like(fs), jnp.zeros_like(rhs_x[seg]),
                 jnp.zeros_like(rhs_y[seg]), jnp.zeros_like(dTs[seg]),
                 jnp.zeros_like(tts[seg]))
+        n_chunks = seg_chunks(dims, seg)
         if unroll_chunks:
             carry = zero
             for c in range(n_chunks):

@@ -36,6 +36,7 @@ and the Mosaic lowering constraints that shaped this file are in PERF.md.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -159,9 +160,13 @@ def _two_loop_t(g, lm_s, lm_y, lm_ys, bound, ys, yy):
 
 def _solve_rounds(x0, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
                   p: LBFGSParams, max_iter: int,
-                  unroll_chunks: bool = False) -> _Carry:
+                  unroll_chunks: bool = False, mxu: str = "f32",
+                  clean_hist: bool = True) -> _Carry:
     """The fused round loop over values (runs inside the kernel; also
-    testable as plain XLA)."""
+    testable as plain XLA). mxu="x3" runs the objective's sample-map
+    matmuls as 3-pass bf16 splits (kcost._dot3) while the solver frame
+    (canonicalization matmuls, dot products, two-loop) stays on exact
+    fp32 contracts — the in-round mixed-precision line search."""
     dtype = x0.dtype
     DPx, TB = x0.shape
     m, past = p.mem_size, max(p.past, 1)
@@ -169,7 +174,7 @@ def _solve_rounds(x0, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
 
     def fg(x):
         return kcost.eval_fg(x, sc, kc, sw, dims,
-                             unroll_chunks=unroll_chunks)
+                             unroll_chunks=unroll_chunks, mxu=mxu)
 
     f0, g0 = fg(x0)
     f0 = _clean_row(f0)                                  # [1, TB]
@@ -209,6 +214,11 @@ def _solve_rounds(x0, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
         # layout inference otherwise assigns the loop-carried values mixed
         # offset/replicated layouts whose pairwise ops need relayouts it has
         # not implemented (sublane broadcasts, replication changes)
+        # history cleans are optional: the [DP, TB] identity matmuls over
+        # m=16 slots are ~25% of per-round matmul FLOPs, and the history is
+        # only touched through matmul-relayoutable ops (_dot, _selrow)
+        ch_mat = _clean_mat if clean_hist else (lambda v: v)
+        ch_row = _clean_row if clean_hist else (lambda v: v)
         c = _Carry(
             xp=_clean_mat(c.xp), fp=_clean_row(c.fp), gp=_clean_mat(c.gp),
             d=_clean_mat(c.d), stp=_clean_row(c.stp),
@@ -216,10 +226,12 @@ def _solve_rounds(x0, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
             dstest=_clean_row(c.dstest), mu=_clean_row(c.mu),
             nu=_clean_row(c.nu), brackt=_clean_row(c.brackt),
             touched=_clean_row(c.touched), lscnt=_clean_row(c.lscnt),
-            lm_s=tuple(_clean_mat(v) for v in c.lm_s),
-            lm_y=tuple(_clean_mat(v) for v in c.lm_y),
-            lm_ys=tuple(_clean_row(v) for v in c.lm_ys),
+            lm_s=tuple(ch_mat(v) for v in c.lm_s),
+            lm_y=tuple(ch_mat(v) for v in c.lm_y),
+            lm_ys=tuple(ch_row(v) for v in c.lm_ys),
             bound=_clean_row(c.bound), k=_clean_row(c.k),
+            # pf stays cleaned: the onehot sum-reduce over it needs a
+            # zero-offset layout
             pf=_clean_mat(c.pf), n_evals=_clean_row(c.n_evals),
             status=_clean_row(c.status))
         act = c.status == Status.RUNNING
@@ -334,12 +346,12 @@ def _solve_rounds(x0, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
 
 def _kernel(x0_ref, bnd_ref, misc_ref, cn_ref, cp_ref, cm_ref, obsc_ref,
             P_ref, Q_ref, gridc_ref, xout_ref, stats_ref,
-            *, dims, sw, p, max_iter):
+            *, dims, sw, p, max_iter, mxu="f32", clean_hist=True):
     sc = KScenario(bnd=bnd_ref[:], misc=misc_ref[:], corr_n=cn_ref[:],
                    corr_p=cp_ref[:], corr_m=cm_ref[:], obs_c=obsc_ref[:])
     kc = KConsts(P=P_ref[:], Q=Q_ref[:], gridc=gridc_ref[:])
     out = _solve_rounds(x0_ref[:], sc, kc, sw, dims, p, max_iter,
-                        unroll_chunks=True)
+                        unroll_chunks=True, mxu=mxu, clean_hist=clean_hist)
     xout_ref[:] = out.xp
     f32 = out.xp.dtype
     TB = out.fp.shape[-1]
@@ -378,9 +390,26 @@ def _finalize(batch, out_x, out_f, out_status, out_k, w, dims, cfg, D):
     dT = T / dims.N
     bm = bcost.to_bminor(batch)
     heads, tails = bcost.boundary_states_b(bm, u, w, dims)
-    maps = minco.maps_as(dims.N, out_x.dtype)
     with jax.default_matmul_precision("float32"):
-        coeffs = bcost.generate_b(u.inner, dT, heads, tails, maps)
+        if dims.Ns is None:
+            maps = minco.maps_as(dims.N, out_x.dtype)
+            coeffs = bcost.generate_b(u.inner, dT, heads, tails, maps)
+        else:
+            # per-segment piece classes: generate each segment on its own
+            # n_s pieces, then re-express exactly on the class-uniform
+            # N-piece grid (minco.subdivide) so the output contract
+            # ([S, N, 6, 2], dT = T/N) is unchanged for every consumer
+            segs = []
+            for s, n_s in enumerate(dims.ns_tuple):
+                maps_s = minco.maps_as(n_s, out_x.dtype)
+                c_s = bcost.generate_b(
+                    u.inner[s:s + 1, :n_s - 1], (T[s] / n_s)[None],
+                    heads[s:s + 1], tails[s:s + 1], maps_s)  # [1,n_s,6,2,B]
+                r = dims.N // n_s
+                A = jnp.asarray(minco.subdivision_matrix(r), out_x.dtype)
+                sub = jnp.einsum("imk,qkdb->qimdb", A, c_s[0])
+                segs.append(sub.reshape(dims.N, 6, 2, c_s.shape[-1]))
+            coeffs = jnp.stack(segs)                     # [S, N, 6, 2, B]
 
     cost = out_f / cfg.opt.cost_scale
     ok = out_status >= 0
@@ -392,7 +421,8 @@ def _finalize(batch, out_x, out_f, out_status, out_k, w, dims, cfg, D):
 
 def solve_batch_rounds(batch: Scenario, w: Weights, dims: Dims,
                        cfg: PlannerConfig,
-                       max_iterations: int | None = None) -> SolveResult:
+                       max_iterations: int | None = None,
+                       mxu: str = "f32") -> SolveResult:
     """The asynchronous-lane round loop as a PLAIN XLA program (no Pallas).
 
     Two structural wins over solver.solve_batch_bminor, independent of any
@@ -413,7 +443,7 @@ def solve_batch_rounds(batch: Scenario, w: Weights, dims: Dims,
     sw = StaticW.build(w, cfg, concrete=False)
     with jax.default_matmul_precision("float32"):
         batch, x0p, sc, kc, D = _prep(batch, w, dims, cfg, dtype)
-        out = _solve_rounds(x0p, sc, kc, sw, dims, p, max_iter)
+        out = _solve_rounds(x0p, sc, kc, sw, dims, p, max_iter, mxu=mxu)
     return _finalize(batch, out.xp, out.fp[0],
                      out.status[0].astype(jnp.int32),
                      out.k[0].astype(jnp.int32), w, dims, cfg, D)
@@ -429,19 +459,30 @@ def solve_batch_fused(batch: Scenario, w: Weights, dims: Dims,
     batch: Scenario with leading [B] (B % tb == 0). Weights must be
     concrete (compile-time) values — the kernel bakes them in.
     x0_override ([dp_of(dims), B]) warm-starts from a packed decision
-    matrix (used by the mixed-precision two-phase solve); return_x adds
-    the final packed decision matrix to the return.
-    mxu_precision="float32" (default) forces bf16x3 matmuls — the bf16 MXU
-    default degrades the line search (measured: cost p50 5750 vs 4361,
-    premature STOP at 21 iters); "bfloat16" keeps the fast path for the
-    exploration phase of solve_batch_fused_mixed.
+    matrix (used by the warm-replan stream and the mixed-precision
+    two-phase solve); return_x adds the final packed decision matrix to
+    the return.
+    mxu_precision:
+      "x3" (mixed, the headline): objective sample-map matmuls run as
+          3-pass bf16 splits (~2x the fp32-contract round rate, error
+          ~2^-17), the solver frame stays on exact fp32 contracts;
+      "float32": every matmul an fp32 contract (~6 bf16 MXU passes) —
+          the conservative round-3 default;
+      "bfloat16": single-pass bf16 everywhere — fastest, but degrades the
+          line search (measured: cost p50 5750 vs 4361, premature STOP at
+          21 iters); kept for the exploration phase of
+          solve_batch_fused_mixed.
     """
-    if mxu_precision == "float32":
+    clean_hist = os.environ.get("DFTPAV_CLEAN_HIST", "1") != "0"
+    if mxu_precision in ("float32", "x3"):
+        mxu = "x3" if mxu_precision == "x3" else "f32"
         with jax.default_matmul_precision("float32"):
             return _solve_batch_fused(batch, w, dims, cfg, max_iterations,
-                                      tb, interpret, x0_override, return_x)
+                                      tb, interpret, x0_override, return_x,
+                                      mxu=mxu, clean_hist=clean_hist)
     return _solve_batch_fused(batch, w, dims, cfg, max_iterations, tb,
-                              interpret, x0_override, return_x)
+                              interpret, x0_override, return_x,
+                              clean_hist=clean_hist)
 
 
 def solve_batch_fused_mixed(batch: Scenario, w: Weights, dims: Dims,
@@ -469,7 +510,8 @@ def solve_batch_fused_mixed(batch: Scenario, w: Weights, dims: Dims,
 
 
 def _solve_batch_fused(batch, w, dims, cfg, max_iterations, tb, interpret,
-                       x0_override=None, return_x=False):
+                       x0_override=None, return_x=False, mxu="f32",
+                       clean_hist=True):
     dtype = jnp.float32 if not interpret else batch.init_T.dtype
     B = batch.ini_state.shape[0]
     assert B % tb == 0, (B, tb)
@@ -494,7 +536,8 @@ def _solve_batch_fused(batch, w, dims, cfg, max_iterations, tb, interpret,
     R = dims.N * dims.K1
     dp = dp_of(dims)
     kern = functools.partial(_kernel, dims=dims, sw=sw, p=p,
-                             max_iter=max_iter)
+                             max_iter=max_iter, mxu=mxu,
+                             clean_hist=clean_hist)
     x_out, stats = pl.pallas_call(
         kern,
         grid=(B // tb,),
@@ -506,9 +549,9 @@ def _solve_batch_fused(batch, w, dims, cfg, max_iterations, tb, interpret,
             lane_spec((dims.H, 2, dims.S * R)),   # corr_p
             lane_spec((dims.H, dims.S * R)),      # corr_m
             lane_spec((max(dims.O, 1), 2, 6 * dims.Po)),  # obs_c
-            const_spec((3, R, kc.P.shape[-1])),
-            const_spec((kc.Q.shape[0], kc.Q.shape[-1])),
-            const_spec((2, R, 1)),
+            const_spec(tuple(kc.P.shape)),      # [S, 3, R, C]
+            const_spec(tuple(kc.Q.shape)),      # [S, Cq, C]
+            const_spec(tuple(kc.gridc.shape)),  # [S, 2, R, 1]
         ],
         out_specs=[lane_spec((dp,)), lane_spec((8,))],
         out_shape=[

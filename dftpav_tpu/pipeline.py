@@ -8,10 +8,15 @@ The TrajPlanner::RunOnceParking / RunMINCOParking equivalent
     plans batch into one XLA program;
   * the optimizer is the vmapped L-BFGS solver (solver.make_solver).
 
-Deviation from the reference (documented): the reference picks a per-segment
-piece count from its duration (max(round(dur/1s), 2), traj_manager.cpp:543);
-we re-piece every segment to the class piece count N (piece duration dur/N),
-which keeps shapes static across the batch. Same math, different granularity.
+Piece granularity: the reference picks a per-segment piece count from its
+duration (max(round(dur/1s), 2), traj_manager.cpp:543). Static-shape
+equivalent: a problem class either re-pieces every segment to the uniform
+class count N, or — with `Dims.Ns` set — gives each segment SLOT its own
+piece count (e.g. (8, 2) for long-approach + short-reversal parking), with
+scenarios admitted to the class only when their natural quantized
+per-segment counts match (see plan_scenario). The solver consumes the
+per-slot counts natively (ops/kcost) and emits solutions re-subdivided
+onto the uniform N-piece output grid.
 """
 
 from __future__ import annotations
@@ -105,6 +110,27 @@ class ParkingPlanner:
                     max(seg_durs) < self.short_plan_s:
                 dims = self.small_dims
 
+            if dims.Ns is not None:
+                # per-SEGMENT piece class: quantize the reference's want
+                # (max(round(dur/1s), 2), traj_manager.cpp:543) to the
+                # class ladder {2, 4, ..., N} and keep only scenarios whose
+                # natural per-segment counts match this class — segment i
+                # is then re-pieced at exactly Ns[i] pieces below
+                allowed = [n for n in (2, 4, 8, 16, 32)
+                           if n <= dims.N and dims.N % n == 0]
+
+                def quant(dur):
+                    want = max(2, int(round(
+                        dur / cfg.opt.traj_piece_duration)))
+                    for n in allowed:
+                        if n >= want:
+                            return n
+                    return allowed[-1]
+
+                if tuple(quant(d) for d in seg_durs) != dims.Ns[:nseg]:
+                    return None, None
+
+            ns_class = dims.ns_tuple
             N, K1 = dims.N, dims.K1
             dt_ = self.dtype
             ini = np.zeros((dims.S, 2, 3), dt_)
@@ -125,12 +151,14 @@ class ParkingPlanner:
                 durations[i] = dur
                 sg = lib.df_plan_seg_singul(h, i)
                 singuls[i] = sg
-                # force piece count == N (see module docstring)
-                piece_dur = dur / N
+                # force piece count == the class's count for this slot
+                # (uniform N, or the per-segment Ns[i] — module docstring)
+                n_i = ns_class[i]
+                piece_dur = dur / n_i
                 dT = np.zeros(1)
-                seg_inner = np.zeros((N - 1, 2))
-                states = np.zeros((N * K1, 3))
-                corr = np.zeros((N * K1, 16))
+                seg_inner = np.zeros((max(n_i - 1, 1), 2))
+                states = np.zeros((n_i * K1, 3))
+                corr = np.zeros((n_i * K1, 16))
                 lib.df_plan_segment_scenario(
                     h, self.grid._h, i, dims.K, dims.Kdes, piece_dur,
                     vp.length, vp.width, vp.d_cr, 10.0,
@@ -144,14 +172,14 @@ class ParkingPlanner:
                                      _dptr(es))
                 ini[i] = ss.reshape(3, 2).T
                 fin[i] = es.reshape(3, 2).T
-                inner[i] = seg_inner
+                inner[i, :n_i - 1] = seg_inner[:n_i - 1]
                 init_T[i] = dur
                 singul[i] = sg
                 seg_mask[i] = True
-                c = corr.reshape(N, K1, 4, 4)
-                corr_n[i] = c[..., 0:2]
-                corr_p[i] = c[..., 2:4]
-                corr_mask[i] = True
+                c = corr.reshape(n_i, K1, 4, 4)
+                corr_n[i, :n_i] = c[..., 0:2]
+                corr_p[i, :n_i] = c[..., 2:4]
+                corr_mask[i, :n_i] = True
 
             # pad unused segments with a copy of the last real one (finite
             # data; masked out of the cost)

@@ -151,7 +151,8 @@ def warm_start_scenario_multigear(scen: Scenario, prev: SolveResult,
 
 
 def make_replanner(cfg: PlannerConfig, dims: Dims, dt_shift: float,
-                   max_iterations: int = 50, jit: bool = True):
+                   max_iterations: int = 50, jit: bool = True,
+                   engine: str = "bminor"):
     """Jitted replan step: (Scenario[B], SolveResult[B], Weights) ->
     (Scenario[B], SolveResult[B]).
 
@@ -161,16 +162,36 @@ def make_replanner(cfg: PlannerConfig, dims: Dims, dt_shift: float,
     under `lax.scan` or a host loop for a replan stream. Multi-gear classes
     (dims.S > 1) advance along the full SingulTrajData, crossing gear
     boundaries as the seed time passes them.
+
+    `engine` selects the solver under the stream (solver.make_solver):
+    the warm guess rides in the rewritten scenario's init_inner/init_T,
+    which every engine packs via cost.initial_guess — the fused kernel
+    included. Fused engines bake weights per concrete weight set (their
+    own jit cache), so the warm-shift is jitted separately there.
     """
-    base = solver.make_solver(cfg, dims, max_iterations=max_iterations,
-                              jit=False)
     warm = (warm_start_scenario if dims.S == 1
             else warm_start_scenario_multigear)
 
+    def shift(batch: Scenario, prev: SolveResult, w: Weights):
+        return jax.vmap(lambda s, p: warm(s, p, dt_shift, w, dims)
+                        )(batch, prev)
+
+    if engine in ("fused", "fused-mixed"):
+        base = solver.make_solver(cfg, dims, max_iterations=max_iterations,
+                                  engine=engine)
+        shift_j = jax.jit(shift) if jit else shift
+
+        def step(batch: Scenario, prev: SolveResult, w: Weights):
+            shifted = shift_j(batch, prev, w)
+            return shifted, base(shifted, w)
+
+        return step
+
+    base = solver.make_solver(cfg, dims, max_iterations=max_iterations,
+                              jit=False, engine=engine)
+
     def step(batch: Scenario, prev: SolveResult, w: Weights):
-        shifted = jax.vmap(
-            lambda s, p: warm(s, p, dt_shift, w, dims)
-        )(batch, prev)
+        shifted = shift(batch, prev, w)
         res = base(shifted, w)
         return shifted, res
 

@@ -147,12 +147,27 @@ def make_solver(cfg: PlannerConfig, dims: Dims,
             "ref_gradient_compat (the reference's cross-segment time-grad "
             "quirk) is implemented only by the per-scenario engine; use "
             "make_solver(..., engine='vmap')")
+    if dims.Ns is not None and engine not in ("rounds", "fused",
+                                              "fused-mixed"):
+        raise ValueError(
+            "per-segment piece classes (Dims.Ns) are implemented by the "
+            "kcost-based engines (rounds/fused); the bminor/vmap paths "
+            "assume uniform N")
     if engine in ("fused", "fused-mixed"):
+        import os as _os
+
         from dftpav_tpu.ops.pallas_solve import (solve_batch_fused,
                                                  solve_batch_fused_mixed)
         import numpy as _np
-        impl = (solve_batch_fused_mixed if engine == "fused-mixed"
-                else solve_batch_fused)
+
+        # in-round mixed precision is the default: objective matmuls as
+        # 3-pass bf16 splits, solver frame on exact fp32 contracts (see
+        # pallas_solve.solve_batch_fused; override via DFTPAV_MXU)
+        mxu = _os.environ.get("DFTPAV_MXU", "x3")
+        if engine == "fused-mixed":
+            impl = solve_batch_fused_mixed
+        else:
+            impl = functools.partial(solve_batch_fused, mxu_precision=mxu)
         compiled = {}
 
         def fused(batch, w):

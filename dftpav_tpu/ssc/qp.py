@@ -53,6 +53,14 @@ def admm_qp(Q, c, G, l, u, n_eq: int, iters: int = 100, rho: float = 1.0,
     (OSQP's rho scaling for l == u rows). Iterates until residuals fall
     below (eps_primal, eps_dual) or `iters` is reached; status is INFEASIBLE
     when the primal residual is still above eps_infeasible at exit.
+
+    Notes: the `lax.while_loop` makes this solver NOT reverse-mode
+    differentiable (while_loop has no VJP) — like the OOQP path it
+    replaces, it is a forward-only solve; take gradients through a fixed
+    `lax.scan` variant if that is ever needed. `n_iters` is the SHARED
+    loop count at exit (the max over whatever batch is vmapped together,
+    broadcast to the batch shape), not a per-problem iteration count —
+    per-problem convergence is what `status` reports.
     """
     with jax.default_matmul_precision("float32"):
         # bf16 MXU truncation inside the KKT factorization/solves destroys

@@ -68,9 +68,13 @@ def rasterize(times, obs_s, obs_d, obs_half_l, obs_half_w, obs_mask,
     s_cells = s0 - cfg.s_back + (jnp.arange(cfg.n_s) + 0.5) * cfg.s_res
     d_cells = cfg.d_origin + (jnp.arange(cfg.n_d) + 0.5) * cfg.d_res
 
-    # obstacle box per (agent, step), dilated: [A, T+1]
-    lo_s = obs_s - obs_half_l[:, None] - s_p_inf - cfg.margin_s
-    hi_s = obs_s + obs_half_l[:, None] + s_n_inf + cfg.margin_s
+    # obstacle box per (agent, step), dilated: [A, T+1]. The reference
+    # spreads each occupied cell over s in [-num_s_n, +num_s_p)
+    # (ssc_map.cc:365), so the dilated interval is [lo - s_n, hi + s_p]:
+    # the ego (rear-axle referenced) extends s_n_inf ahead of its s, so
+    # positions up to s_n_inf BEHIND an obstacle are blocked.
+    lo_s = obs_s - obs_half_l[:, None] - s_n_inf - cfg.margin_s
+    hi_s = obs_s + obs_half_l[:, None] + s_p_inf + cfg.margin_s
     lo_d = obs_d - obs_half_w[:, None] - d_inf - cfg.margin_d
     hi_d = obs_d + obs_half_w[:, None] + d_inf + cfg.margin_d
 

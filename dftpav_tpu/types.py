@@ -24,8 +24,17 @@ class Dims:
     """Static problem dimensions (compile-time constants).
 
     S:   number of gear segments ("trajnum" in traj_optimizer.cpp:13)
-    N:   pieces per segment (uniform; reference allows per-segment counts,
-         we pad to a common N with masks when building scenarios)
+    N:   pieces per segment (the array/packing width; every per-piece array
+         is shaped for N pieces per segment)
+    Ns:  optional per-SEGMENT piece counts (tuple of S ints, each <= N and
+         dividing N) — the static-shape form of the reference's adaptive
+         piecing (max(round(dur/1s), 2), traj_manager.cpp:543). A short
+         gear segment solved on fewer pieces avoids the dT^-5 jerk blowup
+         that over-piecing causes (PERF.md multi-gear diagnosis). Arrays
+         keep their uniform [S, N, ...] shapes; segment s only uses its
+         first Ns[s] pieces / Ns[s]-1 inner waypoints, and solution
+         coefficients are exactly re-subdivided back onto N uniform pieces
+         (ops/kcost + pallas_solve._finalize). None = uniform N.
     K:   interior-piece constraint resolution (traj_resolution, 16)
     Kdes: first/last-piece constraint resolution (destraj_resolution, 32)
     H:   max hyperplanes per corridor polytope (4 for rectangle corridors)
@@ -40,6 +49,20 @@ class Dims:
     H: int = 4
     O: int = 0
     Po: int = 8
+    Ns: tuple | None = None
+
+    def __post_init__(self):
+        if self.Ns is not None:
+            ns = tuple(int(n) for n in self.Ns)
+            assert len(ns) == self.S, (ns, self.S)
+            assert all(2 <= n <= self.N and self.N % n == 0 for n in ns), \
+                f"each Ns entry must be in [2, N] and divide N: {ns}"
+            object.__setattr__(self, "Ns", ns)
+
+    @property
+    def ns_tuple(self) -> tuple:
+        """Per-segment piece counts (uniform fallback)."""
+        return self.Ns if self.Ns is not None else (self.N,) * self.S
 
     @property
     def K1(self) -> int:

@@ -38,9 +38,12 @@ eudm_config.pb.txt:16-20), TooSlow analogously with rss_vel_low; layer cost
 is `(eff + safety/2 + nav) * duration * discount^layer`
 (CostStructure::ave, eudm_planner.h:110-130; weight :1225, discount :694).
 
-Remaining simplification (documented): lon actions map to IDM desired-
-velocity commands exactly as eudm_planner.cc:383-409; the lat-behavior
-mid-horizon re-planning of UpdateLateralActionSequence is not modeled.
+Mid-horizon lateral re-planning (UpdateLateralActionSequence,
+eudm_planner.cc:656-668, 772-851) IS modeled: when the simulated ego
+completes a lane change at a layer boundary, the remaining lateral actions
+re-base via `_LAT_XFORM` and the reference lane advances (see _sim_policy).
+The EudmManager cross-tick context (ongoing action as next tree root,
+lc-completion collapse) lives in urban/behavior_server.py.
 """
 
 from __future__ import annotations
@@ -179,6 +182,18 @@ def _rss_ladder(traj, ego_idx, eval_lane, geom_: fsim.AgentGeom,
     return rss_cost, unsafe.any()
 
 
+_LAT_INVALID = 3
+# lateral-finish transforms (UpdateLateralActionSequence,
+# eudm_planner.cc:772-820): after completing a lane change, the remaining
+# sequence re-bases — same-direction -> LK ("LLLLL -> LLKKK"), LK -> the
+# opposite direction ("LLKKK -> LLRRR"), opposite -> invalid ("LLRRR -> x").
+# Indexed [dir - 1][action] with dir in {LCL(1), LCR(2)}, INVALID absorbing.
+_LAT_XFORM = np.array([
+    [2, 0, _LAT_INVALID, _LAT_INVALID],   # completed LCL: LK->LCR, LCL->LK
+    [1, _LAT_INVALID, 0, _LAT_INVALID],   # completed LCR: LK->LCL, LCR->LK
+], dtype=np.int32)
+
+
 def _sim_policy(actions, agent_lane_ids, lane_set, states, geom_, ego_idx,
                 p: fsim.SimParam, cfg: EUDMConfig, ego_lanes, agent_vel):
     """Simulate one DCP leaf under one surrounding-behavior belief.
@@ -186,18 +201,32 @@ def _sim_policy(actions, agent_lane_ids, lane_set, states, geom_, ego_idx,
     actions [H, 2]; agent_lane_ids [A] the belief's lane assignment for the
     surrounding agents (ego's entry is overridden per layer by its lateral
     action). Returns (traj [H*spl+1, A, 6], score, valid, risky).
+
+    Mid-rollout lateral completion follows the reference
+    (CheckIfLateralActionFinished + UpdateLateralActionSequence,
+    eudm_planner.cc:656-668, 772-851): when the simulated ego reaches its
+    lane-change target lane at a layer boundary, the reference lane for
+    subsequent actions becomes the new lane and the remaining lateral
+    actions re-base via _LAT_XFORM (an invalid re-base kills the policy).
     """
+    from dftpav_tpu.urban import semantic_map as smap
+
     H = actions.shape[0]
     spl = cfg.steps_per_layer
     A = states.shape[0]
     lat_seq = actions[:, 1]
-    lane_seq = ego_lanes[lat_seq]                          # [H]
-    lane_ok = jnp.all(lane_seq >= 0)
     v0 = states[ego_idx, fsim.V]
+    xform = jnp.asarray(_LAT_XFORM)
+    ident = jnp.arange(4, dtype=jnp.int32)
+    ref_lane0 = jnp.maximum(ego_lanes[0], 0)
 
     def layer_body(carry, h):
-        s, = carry
-        lane_id_h = jnp.maximum(lane_seq[h], 0)
+        s, ref_lane, lat_map, ok = carry
+        eff_lat = lat_map[lat_seq[h]]                      # re-based action
+        cand = behavior_lane_ids(lane_set, ref_lane)       # [3] from ref
+        tgt = cand[jnp.minimum(eff_lat, 2)]
+        ok = ok & (eff_lat != _LAT_INVALID) & (tgt >= 0)
+        lane_id_h = jnp.where(ok, jnp.maximum(tgt, 0), ref_lane)
         ids = agent_lane_ids.at[ego_idx].set(lane_id_h)
         lanes = _gather_lane(lane_set, ids)
         v_cmd = _lon_desired_vel(actions[h, 0], s[ego_idx, fsim.V], cfg)
@@ -209,9 +238,22 @@ def _sim_policy(actions, agent_lane_ids, lane_set, states, geom_, ego_idx,
             return nxt, nxt
 
         s_end, layer_traj = jax.lax.scan(step_body, s, None, length=spl)
-        return (s_end,), layer_traj
 
-    (_,), traj_layers = jax.lax.scan(layer_body, (states,), jnp.arange(H))
+        # lateral-finish check at the layer boundary: ego's nearest lane
+        # reached the lane-change target (potential-lane membership,
+        # eudm_planner.cc:823-851, on a flat lane net = the target itself)
+        near = smap.nearest_lane(lane_set, s_end[ego_idx, 0:2],
+                                 s_end[ego_idx, fsim.TH])
+        finished = (eff_lat == 1) | (eff_lat == 2)
+        finished = finished & (near == lane_id_h)
+        dir_row = jnp.maximum(eff_lat - 1, 0)
+        lat_map_next = jnp.where(finished, xform[dir_row][lat_map], lat_map)
+        ref_next = jnp.where(finished, lane_id_h, ref_lane)
+        return (s_end, ref_next, lat_map_next, ok), layer_traj
+
+    (_, _, _, lane_ok), traj_layers = jax.lax.scan(
+        layer_body, (states, ref_lane0, ident, ego_lanes[0] >= 0),
+        jnp.arange(H))
     traj = jnp.concatenate([states[None],
                             traj_layers.reshape(H * spl, A, -1)], axis=0)
 
@@ -262,14 +304,24 @@ def _finalize(script, trajs, scores, valid, risky, ego_idx,
 
 
 def eudm_plan(lane_set: LaneSet, states, lane_ids, geom_: fsim.AgentGeom,
-              ego_idx: int, p: fsim.SimParam, cfg: EUDMConfig) -> EUDMResult:
+              ego_idx: int, p: fsim.SimParam, cfg: EUDMConfig,
+              script=None, ongoing_lat: int = 0) -> EUDMResult:
     """One EUDM decision under the observed (default) belief: simulate every
     DCP-tree leaf, pick the best.
 
     states [A, 6]; lane_ids [A] current lanes. Returns per-policy trajs of
     shape [P, H*steps_per_layer + 1, A, 6].
+
+    `ongoing_lat` roots the DCP tree at the manager's ongoing lateral
+    action (EudmManager::Prepare -> UpdateDcpTree, eudm_manager.cc:82-127):
+    a committed lane change carries as the branch root of the next tick's
+    tree instead of re-planning from LK. `script` may pass the [P, H, 2]
+    action table directly (it can be a traced argument — the policy axis
+    only feeds gathers — letting one jitted planner serve any root).
     """
-    script = jnp.asarray(dcp_action_script(cfg.tree_height))   # [P, H, 2]
+    if script is None:
+        script = jnp.asarray(dcp_action_script(cfg.tree_height,
+                                               ongoing_lat))  # [P, H, 2]
     agent_vel = states[:, fsim.V]
     ego_lanes = behavior_lane_ids(lane_set, lane_ids[ego_idx])  # [3]
 
@@ -299,7 +351,8 @@ def cfb_belief_combos(sur_lat_probs: np.ndarray,
 def eudm_plan_cfb(lane_set: LaneSet, states, lane_ids,
                   geom_: fsim.AgentGeom, ego_idx: int, p: fsim.SimParam,
                   cfg: EUDMConfig, sur_lat_probs,
-                  uncertain_idx: Sequence[int]) -> EUDMResult:
+                  uncertain_idx: Sequence[int], script=None,
+                  ongoing_lat: int = 0) -> EUDMResult:
     """EUDM with CFB belief branching over surrounding-vehicle intentions.
 
     sur_lat_probs [A, 3]: per-agent probability of {LK, LCL, LCR} (rows for
@@ -309,9 +362,12 @@ def eudm_plan_cfb(lane_set: LaneSet, states, lane_ids,
 
     Per policy: score = E_beliefs[score], valid = no focused belief
     (probability > belief_prune_prob after renormalization) is unsafe.
-    Reported trajs are from the most-likely belief.
+    Reported trajs are from the most-likely belief. `script`/`ongoing_lat`
+    as in eudm_plan (manager context threading).
     """
-    script = jnp.asarray(dcp_action_script(cfg.tree_height))   # [P, H, 2]
+    if script is None:
+        script = jnp.asarray(dcp_action_script(cfg.tree_height,
+                                               ongoing_lat))   # [P, H, 2]
     agent_vel = states[:, fsim.V]
     ego_lanes = behavior_lane_ids(lane_set, lane_ids[ego_idx])  # [3]
 
@@ -344,9 +400,15 @@ def eudm_plan_cfb(lane_set: LaneSet, states, lane_ids,
     trajs_c, scores_c, valid_c, risky_c = jax.vmap(per_combo)(combo_ids)
     # trajs_c [C, P, T+1, A, 6]; scores_c/valid_c/risky_c [C, P]
 
-    # expectation over beliefs; invalid-lane policies stay inf everywhere
+    # expectation over beliefs; invalid-lane policies stay inf everywhere.
+    # Renormalize the belief weights over the FINITE combos per policy:
+    # zeroing a non-finite combo without renormalizing would drop that
+    # belief's cost share and systematically favor policies that are
+    # infeasible under low-probability beliefs.
     finite = jnp.isfinite(scores_c)
-    scores = jnp.sum(w[:, None] * jnp.where(finite, scores_c, 0.0), axis=0)
+    w_fin = jnp.sum(w[:, None] * finite, axis=0)               # [P]
+    scores = jnp.sum(w[:, None] * jnp.where(finite, scores_c, 0.0), axis=0) \
+        / jnp.maximum(w_fin, 1e-9)
     valid = jnp.all(jnp.where(focused[:, None], valid_c, True), axis=0)
     risky = jnp.any(jnp.where(focused[:, None], risky_c, False), axis=0)
     scores = jnp.where(valid, scores, jnp.inf)

@@ -69,6 +69,10 @@ def safe_lateral_distance(ego_lat_vel, other_lat_vel, other_on_left,
     passive-brake (response + min brake) for the approaching side and active
     (max) brake for the receding side, plus the miu margin.
     """
+    # coerce scalars: `e_pos`/`o_pos` below must be arrays so `~`/`&` are
+    # elementwise (on Python bools `~` is the deprecated int complement)
+    ego_lat_vel = jnp.asarray(ego_lat_vel)
+    other_lat_vel = jnp.asarray(other_lat_vel)
     ev = jnp.abs(ego_lat_vel)
     ov = jnp.abs(other_lat_vel)
     ev_rt = ev + cfg.response_time * cfg.lat_acc_max

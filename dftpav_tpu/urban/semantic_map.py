@@ -108,11 +108,16 @@ def visibility_mask(spec: GridSpec, grid, ego_pos, n_samples: int = 128):
     dist = jnp.sqrt(dx * dx + dy * dy)
     # sample fractions stop one cell short of the target so a cell does not
     # occlude itself (the reference includes the first occupied cell as
-    # visible and shadows only cells BEHIND it)
+    # visible and shadows only cells BEHIND it), and start one cell OUT of
+    # the ego's own cell: the ego standing on/next to an occupied cell must
+    # not blind every ray (the reference caster starts from the ego cell and
+    # still marks the first occupied cell per ray as visible)
     t_hi = jnp.maximum(1.0 - spec.resolution / jnp.maximum(dist, 1e-6), 0.0)
+    t_lo = jnp.minimum(spec.resolution / jnp.maximum(dist, 1e-6), t_hi)
     ts = (jnp.arange(n_samples) + 0.5) / n_samples     # [S]
-    px = ego_pos[0] + dx[..., None] * ts * t_hi[..., None]   # [H, W, S]
-    py = ego_pos[1] + dy[..., None] * ts * t_hi[..., None]
+    frac = t_lo[..., None] + ts * (t_hi - t_lo)[..., None]   # [H, W, S]
+    px = ego_pos[0] + dx[..., None] * frac
+    py = ego_pos[1] + dy[..., None] * frac
     blocked = occupied_at(spec, grid, jnp.stack([px, py], axis=-1))
     return ~jnp.any(blocked, axis=-1)
 

@@ -32,12 +32,28 @@ def enable_persistent_cache(path: str | None = None,
     import jax
     from jax._src import compilation_cache as cc
 
+    # The relay backend hangs on cache READS (see module docstring): refuse
+    # to arm the cache there unless the caller explicitly overrides.
+    if (os.environ.get("PALLAS_AXON_REMOTE_COMPILE")
+            and not os.environ.get("DFTPAV_CACHE_FORCE")):
+        raise RuntimeError(
+            "enable_persistent_cache: relay environment detected "
+            "(PALLAS_AXON_REMOTE_COMPILE set); executable deserialization "
+            "hangs the relay. Set DFTPAV_CACHE_FORCE=1 to override.")
+
     path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR", DEFAULT_DIR)
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       min_compile_secs)
     cc.set_cache_dir(path)
-    with cc._cache_initialized_mutex:
-        cc._cache_checked = True
-        cc._cache_used = True
+    try:
+        # private internals (jax 0.9.0): force the is-cache-used probe past
+        # the relay's platform short-circuit so writes happen
+        with cc._cache_initialized_mutex:
+            cc._cache_checked = True
+            cc._cache_used = True
+    except AttributeError as e:
+        raise RuntimeError(
+            "enable_persistent_cache relies on jax-internal attributes that "
+            f"moved in this jax version: {e}") from e
     return path

@@ -450,6 +450,10 @@ struct KinoParams {
   double non_siguav = 0.2;
   double sample_time = 0.1;
   double traj_forward_vel = 5.0;  // unused placeholder
+  // yaw-keyed node dedup: the reference's use3d mode (yaw-indexed node
+  // table, kino_astar.cpp:71-74,191-194). The 2D key collapses states
+  // reaching a cell at different headings; 3D keeps them distinct.
+  bool use3d = false;
 };
 
 struct Node {
@@ -599,7 +603,7 @@ class KinoAstar {
     root.g = 0;
     root.f = p_.lambda_heu * heu(root);
     nodes_.push_back(root);
-    lookup_[key(root.x, root.y)] = 0;
+    lookup_[key(root.x, root.y, root.yaw)] = 0;
     open_.push({root.f, 0});
 
     bool initsearch = root.singul != 0 ? false : true;
@@ -663,7 +667,7 @@ class KinoAstar {
         int singul = arc > 0 ? 1 : -1;
         double s1[3];
         stateTransit(s0, steer, arc, p_.wheel_base, s1);
-        HashKey k = key(s1[0], s1[1]);
+        HashKey k = key(s1[0], s1[1], s1[2]);
         auto it = lookup_.find(k);
         if (it != lookup_.end() && nodes_[it->second].closed) { ++dbg_closed_; continue; }
         if (it != lookup_.end() && it->second == idx) { ++dbg_same_; continue; }
@@ -720,10 +724,16 @@ class KinoAstar {
   bool collides(double x, double y, double yaw) const {
     return map_->obb_collides(x, y, yaw, p_.veh_length, p_.veh_width, p_.d_cr);
   }
-  HashKey key(double x, double y) const {
+  HashKey key(double x, double y, double yaw) const {
     int ix = (int)std::llround(x / p_.grid_res);
     int iy = (int)std::llround(y / p_.grid_res);
-    return HashKey{(int64_t)ix * 1000003 + iy};
+    int64_t v = (int64_t)ix * 1000003 + iy;
+    if (p_.use3d) {
+      // yaw bucket (kino_astar.cpp:814: floor((yaw - origin) / yaw_res))
+      int iz = (int)std::floor((norm_angle(yaw) + M_PI) / p_.yaw_res);
+      v = v * 1048573 + iz;
+    }
+    return HashKey{v};
   }
   double heu(const Node& n) const { return heuXY(n.x, n.y, n.yaw); }
   double heuXY(double x, double y, double yaw) const {
@@ -1164,10 +1174,24 @@ void* df_plan(void* map, const double* params /*see order below*/,
   p.max_acc_b = params[i++];
   p.non_siguav = params[i++];
   p.sample_time = params[i++];
+  p.use3d = params[i++] > 0.5;
   KinoAstar astar((GridMap*)map, p);
   auto* r = new PlanResult(astar.plan(start4, start_ctrl2, end4));
   r->iters = astar.dbg_iters_;
   r->shots = astar.dbg_shots_;
+  if (p.use3d && r->status != 1) {
+    // the reference's retry: 3D (yaw-keyed) search first, fall back to the
+    // 2D key on failure (traj_manager.cpp:85-93)
+    KinoParams p2 = p;
+    p2.use3d = false;
+    KinoAstar astar2((GridMap*)map, p2);
+    PlanResult r2 = astar2.plan(start4, start_ctrl2, end4);
+    if (r2.status == 1) {
+      *r = r2;
+      r->iters = astar2.dbg_iters_;
+      r->shots = astar2.dbg_shots_;
+    }
+  }
   return r;
 }
 

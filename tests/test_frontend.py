@@ -184,3 +184,40 @@ def test_frontend_batch_distribution():
     res = solve(jax.tree.map(jnp.asarray, b), w)
     succ = np.asarray(res.success.astype(jnp.int32))
     assert succ.sum() >= 7, np.asarray(res.cost)
+
+
+def test_use3d_yaw_key_beats_2d_in_tight_slot():
+    """Yaw-keyed node dedup (the reference's use3d first attempt,
+    traj_manager.cpp:85-93; yaw-indexed table kino_astar.cpp:71-74): in a
+    tight dead-end parking slot, 2D (x, y) hashing collapses states that
+    reach a cell at different headings and prunes the direct back-in
+    maneuver — it still reaches the goal (via the RS one-shot) but needs
+    more gear segments and a longer plan. The 3D key keeps the heading
+    multiplicity and finds the short single-reversal plan."""
+    res = 0.1
+    gap = 2.8
+    occ = np.zeros((300, 300), np.uint8)
+    occ[:3, :] = 1
+    occ[-3:, :] = 1
+    occ[:, :3] = 1
+    occ[:, -3:] = 1
+    x0, x1 = int(14 / res), int((14 + gap) / res)
+    occ[int(6 / res):int(11 / res), int(4 / res):x0] = 1
+    occ[int(6 / res):int(11 / res), x1:int(26 / res)] = 1
+    grid = GridMap2D(occ, origin=(0.0, 0.0), resolution=res)
+
+    start = (6.0, 16.0, 0.0, 0.0)
+    goal = (14 + gap / 2, 8.5, -np.pi / 2, 0.0)
+
+    def run(use3d):
+        pl = KinoAstarPlanner(grid, FrontendConfig(max_search_time=2.0,
+                                                   use3d=use3d))
+        segs, samples = pl.plan(start, goal)
+        assert segs is not None
+        np.testing.assert_allclose(samples[-1][:2], goal[:2], atol=1e-6)
+        return len(segs), sum(s.duration for s in segs)
+
+    n2, t2 = run(False)
+    n3, t3 = run(True)
+    assert n3 < n2
+    assert t3 < t2 - 0.5

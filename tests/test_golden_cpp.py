@@ -246,3 +246,57 @@ def test_golden_gear_with_obstacle_grad_compat(tmp_path):
     dev, ddt = _compare(scen, dims, cfg, tmp_path, tol=1e-9, lbfgs_past=12,
                         require_ok=False)
     print(f"golden S=2 O=1 grad-compat path-parity k=12: max dev {dev:.3e} m")
+
+
+def test_golden_deployed_budget_multigear(tmp_path):
+    """Long-budget parity lane: BOTH sides run the reference's DEPLOYED
+    L-BFGS envelope (delta=1e-4, past=3, max_iterations=12000 —
+    traj_optimizer.cpp:127-134 + minco_config.pb.txt:96-99) on identical
+    S=2 gear inputs. At this delta the gear-junction flat valley is METERS
+    wide (measured 3.6 m between the two legitimate stops), so the
+    equal-budget bar is OUTCOME comparability: both sides succeed and
+    reach the same objective level (jerk + time cost, the free-corridor
+    objective), anchoring the multi-gear failure-rate comparisons
+    (PERF.md) on equal budgets rather than sampled anecdotes."""
+    from dftpav_tpu import minco
+
+    dims = Dims(S=2, N=8, K=16, Kdes=32, H=4, O=0, Po=8)
+    scen = scenarios.gear_scenario(dims)
+    # the FULL deployed envelope including mem_size=256: at the shared
+    # relative-improvement threshold the descent RATE decides where the
+    # stop fires, and m=256's near-Newton directions keep the improvement
+    # above delta much deeper into the valley (measured on this fixture:
+    # m=16 stops at objective 3434, m=256 at 1620 vs the C++'s 1807 —
+    # identical thresholds, different descent speeds). The shipped m=16
+    # default trades this tail descent for 16x iteration latency
+    # (LBFGSParams docstring); this lane pins the equal-envelope outcome.
+    cfg = dataclasses.replace(
+        PlannerConfig(),
+        opt=dataclasses.replace(
+            PlannerConfig().opt,
+            lbfgs=LBFGSParams(mem_size=256, max_linesearch=64)))
+
+    fx = tmp_path / "fixture.txt"
+    gf.scenario_to_fixture(
+        type(scen)(*(np.asarray(leaf, np.float64) for leaf in scen)),
+        dims, fx, lbfgs_delta=cfg.opt.lbfgs.delta)
+    ok_cpp, segs = gf.run_oracle(fx)
+    assert ok_cpp, "compiled reference failed at its own deployed budget"
+
+    coeffs, dT, ok_mine = _solve_mine(scen, dims, cfg)
+    assert ok_mine
+
+    wt = float(cfg.opt.wei_time)
+    obj_cpp = sum(s["jerk"] + wt * s["T"] for s in segs)
+    obj_mine = sum(
+        float(np.sum(np.asarray(minco.jerk_cost(
+            jnp.asarray(coeffs[s]), jnp.asarray(dT[s])))))
+        + wt * float(dims.N * dT[s])
+        for s in range(int(np.sum(scen.seg_mask))))
+    rel = (obj_mine - obj_cpp) / max(abs(obj_cpp), 1e-9)
+    print(f"golden S=2 deployed-budget objective: cpp {obj_cpp:.4f} "
+          f"mine {obj_mine:.4f} rel {rel:+.2e}")
+    # comparability bar is one-sided: at the identical envelope our stop
+    # must not land at a WORSE objective than the reference's (landing
+    # deeper is fine — measured -10%)
+    assert rel < 0.05

@@ -171,6 +171,34 @@ class TestVoxelCorridor:
         assert 0.1 < float(cv.d_ub[1]) <= 1.0 + 1e-6
         assert -1.0 - 1e-6 <= float(cv.d_lb[1]) < -0.1
 
+    def test_footprint_dilation_is_asymmetric(self):
+        """InflateObstacleGrid (ssc_map.cc:347-375) spreads occupied cells
+        over s in [-s_n, +s_p): the ego (rear-axle referenced) reaches
+        len/2 + d_cr AHEAD of its s, so the corridor must stop that far
+        short of an obstacle ahead, and only len/2 - d_cr clear of one
+        behind. Catches a swapped front/back dilation (symmetric layouts
+        cannot)."""
+        from dftpav_tpu.ssc.voxel import build_corridor_voxel
+        T, M = 20, 5
+        times = jnp.linspace(0.0, 4.0, T + 1)
+        seed_s, seed_d = 8.0 * times, jnp.zeros(T + 1)
+        # full-width walls: one ahead (raw s [18, 22]), one behind (raw
+        # s [-6, -4]); ego defaults len=4.88, d_cr=1.015 ->
+        # front extent s_n = 3.455, rear extent s_p = 1.425
+        obs_s = jnp.array([20.0, -5.0])[:, None] * jnp.ones((2, T + 1))
+        obs_d = jnp.zeros((2, T + 1))
+        corr = build_corridor_voxel(
+            times, seed_s, seed_d, obs_s, obs_d,
+            jnp.array([2.0, 1.0]), jnp.array([50.0, 50.0]),
+            jnp.ones(2, bool), M=M)
+        # (later seed chunks pierce the wall ahead, so global seed_free is
+        # False — cube 0's inflation is what this test pins down)
+        # cube 0 (seed s [0, 6.4]) grows forward to 18 - 3.455 = 14.545
+        # (a swapped dilation would reach 18 - 1.425 = 16.575)
+        assert 14.0 <= float(corr.s_ub[0]) <= 14.8
+        # and backward to -4 + 1.425 = -2.575 (swapped: -0.545)
+        assert -2.9 <= float(corr.s_lb[0]) <= -2.3
+
     def test_planner_voxel_backend(self):
         """ssc_plan runs end-to-end with corridor_backend='voxel'."""
         import jax

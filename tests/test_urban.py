@@ -578,3 +578,60 @@ class TestBehaviorServer:
         dec = srv.tick(states)
         assert dec.behavior == mpdm.LCL
         assert dec.valid
+
+
+class TestEudmManager:
+    """EudmManager context threading (eudm_manager.cc:41-93, 881-905):
+    the committed action of tick N — located by elapsed wall time in the
+    winning action sequence — roots tick N+1's DCP tree; a completed lane
+    change (ego reached the target lane) collapses the root back to LK."""
+
+    def _server(self):
+        from dftpav_tpu.urban import eudm
+        from dftpav_tpu.urban.behavior_server import BehaviorServer
+        ls = two_lane_set()
+        return BehaviorServer(ls, default_geom(2), 0, planner="eudm",
+                              cfg=eudm.EUDMConfig(desired_velocity=8.0))
+
+    SLOW_LEADER = [[0.0, 0.0, 0.0, 5.0, 0.0, 0.0],
+                   [25.0, 0.0, 0.0, 1.0, 0.0, 0.0]]
+
+    def test_committed_change_roots_next_tree(self):
+        srv = self._server()
+        states = jnp.array(self.SLOW_LEADER)
+        d0 = srv.tick(states, stamp=0.0)
+        assert d0.ongoing_lat == mpdm.LK
+        assert d0.behavior == mpdm.LCL                  # commits LCL
+        seq0 = np.asarray(srv._snapshot.action_seq)
+        assert (seq0[:, 1] == mpdm.LCL).any()
+
+        # later, mid-change (ego between lanes), leader still slow: the
+        # ongoing action indexed by elapsed time is LCL and the next tree
+        # must branch FROM LCL, not restart at LK
+        states1 = jnp.array([[6.0, 1.4, 0.25, 5.0, 0.0, 0.0],
+                             [26.0, 0.0, 0.0, 1.0, 0.0, 0.0]])
+        h_first = int(np.argmax(seq0[:, 1] == mpdm.LCL))
+        stamp1 = (h_first + 0.3) * srv.cfg.layer_time
+        d1 = srv.tick(states1, stamp=stamp1)
+        assert d1.ongoing_lat == mpdm.LCL
+        assert int(srv._snapshot.action_seq[0, 1]) == mpdm.LCL
+
+        # a context-free server on the same states roots at LK instead —
+        # the carried commitment changes the tree (and the decision root)
+        fresh = self._server()
+        fresh.tick(states1, stamp=stamp1)
+        assert int(fresh._snapshot.action_seq[0, 1]) == mpdm.LK
+
+    def test_completed_change_collapses_root(self):
+        srv = self._server()
+        d0 = srv.tick(jnp.array(self.SLOW_LEADER), stamp=0.0)
+        assert d0.behavior == mpdm.LCL
+        assert srv._snapshot.lc_lat == mpdm.LCL
+        # ego arrived on the target (left) lane: the lc context completes
+        # and the next tree roots at LK again (eudm_manager.cc:93-96)
+        states2 = jnp.array([[10.0, 3.5, 0.0, 6.0, 0.0, 0.0],
+                             [27.0, 0.0, 0.0, 1.0, 0.0, 0.0]])
+        d2 = srv.tick(states2, stamp=1.3)
+        assert d2.ongoing_lat == mpdm.LK
+        assert srv._snapshot.lc_lat != mpdm.LCL or \
+            int(srv._snapshot.action_seq[0, 1]) == mpdm.LK

@@ -28,6 +28,7 @@ def main():
     tb = int(sys.argv[3]) if len(sys.argv) > 3 else 128
     S = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     N = int(sys.argv[5]) if len(sys.argv) > 5 else 8
+    mxu = sys.argv[6] if len(sys.argv) > 6 else "float32"
 
     cfg = PlannerConfig()
     dims = Dims(S=S, N=N, K=16, Kdes=32, H=4, O=2, Po=8)
@@ -52,7 +53,8 @@ def main():
                                            sharding=repl), tree)
 
     fn = jax.jit(lambda b: solve_batch_fused(
-        b, w, dims=dims, cfg=cfg, max_iterations=max_iter, tb=tb))
+        b, w, dims=dims, cfg=cfg, max_iterations=max_iter, tb=tb,
+        mxu_precision=mxu))
     import time
     t0 = time.time()
     lowered = fn.lower(absify(scens))
