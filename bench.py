@@ -141,17 +141,15 @@ def main():
 
     # multi-gear (S=2 reverse-park class) throughput from real front-end
     # geometry — the reference's flagship workload (traj_manager.cpp:160-238
-    # parking = gear reversals), on the fused kernel (3,412 solves/s vs the
-    # rounds engine's 729 at identical success, measured). N=4 class: the
-    # reference adapts piece counts per segment (max(round(dur/1s), 2)), and
-    # over-piecing the short reversal segment onto N=8 stalls the warm start
-    # (success 0.65 at N=8 vs 0.83 at N=4 measured); success ~0.8 reflects
-    # that remaining per-segment-piece-class gap — the compiled C++
-    # reference fails a comparable share on identical uniform-N inputs
-    # (PERF.md).
+    # parking = gear reversals). The class is the PER-SEGMENT piece class
+    # (8, 2): long approach on 8 pieces, short reversal on 2 — exactly the
+    # reference's adaptive piecing (max(round(dur/1s), 2),
+    # traj_manager.cpp:543) under static shapes (Dims.Ns); scenarios are
+    # admitted when their natural quantized counts match, which is the
+    # dominant (~50%) class of the S=2 front-end distribution.
     multigear_fields = {}
     if os.environ.get("BENCH_MULTIGEAR", "1") == "1" and source != "frontend":
-        dims2 = Dims(S=2, N=4, K=16, Kdes=32, H=4, O=2, Po=8)
+        dims2 = Dims(S=2, N=8, K=16, Kdes=32, H=4, O=2, Po=8, Ns=(8, 2))
         B2 = min(B, 512)
         fb2 = jax.tree.map(jnp.asarray,
                            _frontend_batch_cached(dims2, B2, seed=11))

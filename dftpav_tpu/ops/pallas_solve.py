@@ -83,6 +83,30 @@ class _Carry(NamedTuple):
     status: jnp.ndarray   # [TB] f32 (Status codes)
 
 
+# Solver-frame MXU mode, set per trace by _solve_rounds (module-level is
+# safe: traces are single-threaded and the value is read only at trace
+# time). "f32": every frame matmul an fp32 contract (~6 bf16 MXU passes).
+# "fast": the relayout/reduction matmuls that exist purely for Mosaic
+# layout reasons run as few-pass bf16 splits — 2-pass dots (~2^-17
+# relative, far below every solver tolerance), EXACT 3-split identity
+# cleans (8+8+8 mantissa bits covers f32's 24), and exact single-pass 0/1
+# mask expansion.
+_FRAME = "f32"
+
+
+def _bf16_split(v, parts: int):
+    """v (f32) as a list of `parts` bf16 values summing (exactly, for
+    parts=3) to v."""
+    out = []
+    rem = v
+    for _ in range(parts - 1):
+        hi = rem.astype(jnp.bfloat16)
+        out.append(hi)
+        rem = rem - hi.astype(v.dtype)
+    out.append(rem.astype(jnp.bfloat16))
+    return out
+
+
 def _dot(a, b):
     """Decision-space dot product, [DP, TB] x [DP, TB] -> [TB].
 
@@ -92,11 +116,25 @@ def _dot(a, b):
     layout must have zero offsets over dimensions that are being reduced");
     matmul operands are relayouted freely. DP is tiny (16-64), so the MXU
     pass costs nothing.
+
+    Fast frame: the ones side is exact, so splitting the PRODUCT into
+    hi/lo bf16 gives ~2^-17 relative in two single-pass matmuls.
     """
     prod = a * b
     ones = jnp.ones((1, prod.shape[0]), prod.dtype)
+    if _FRAME == "fast":
+        hi, lo = _bf16_split(prod, 2)
+        dflt = jax.lax.Precision.DEFAULT
+        ones_b = ones.astype(jnp.bfloat16)
+        dot = lambda p: jax.lax.dot_general(
+            ones_b, p, (((1,), (0,)), ((), ())),
+            preferred_element_type=prod.dtype, precision=dflt)
+        return dot(hi) + dot(lo)
+    prec = (jax.lax.Precision.DEFAULT if _FRAME == "bf16"
+            else jax.lax.Precision.HIGHEST)
     return jax.lax.dot_general(ones, prod, (((1,), (0,)), ((), ())),
-                               preferred_element_type=prod.dtype)
+                               preferred_element_type=prod.dtype,
+                               precision=prec)
 
 
 def _clean_row(v):
@@ -110,8 +148,29 @@ def _clean_row(v):
     even on plain elementwise adds."""
     v2 = v if v.ndim == 2 else v[None]
     one = jnp.ones((1, 1), v2.dtype)
+    if _FRAME == "fast":
+        return _ident_apply(one, v2)
+    prec = (jax.lax.Precision.DEFAULT if _FRAME == "bf16"
+            else jax.lax.Precision.HIGHEST)
     return jax.lax.dot_general(one, v2, (((1,), (0,)), ((), ())),
-                               preferred_element_type=v2.dtype)
+                               preferred_element_type=v2.dtype,
+                               precision=prec)
+
+
+def _ident_apply(ident, v):
+    """EXACT identity matmul in 3 single-bf16 passes: v splits into three
+    bf16 components (24 mantissa bits total), the 0/1 identity is exact in
+    bf16, each pass's products are exact, and the identity contraction has
+    one nonzero per output so no accumulation rounding occurs."""
+    dflt = jax.lax.Precision.DEFAULT
+    ident_b = ident.astype(jnp.bfloat16)
+    acc = None
+    for part in _bf16_split(v, 3):
+        t = jax.lax.dot_general(ident_b, part, (((1,), (0,)), ((), ())),
+                                preferred_element_type=v.dtype,
+                                precision=dflt)
+        acc = t if acc is None else acc + t
+    return acc
 
 
 def _clean_mat(v):
@@ -119,8 +178,15 @@ def _clean_mat(v):
     n = v.shape[0]
     ident = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
              == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)).astype(v.dtype)
+    if _FRAME == "fast":
+        return _ident_apply(ident, v)
+    # "bf16": single-pass clean TRUNCATES the carry to bf16 each round —
+    # kept only as an experiment knob (quality must be re-gated)
+    prec = (jax.lax.Precision.DEFAULT if _FRAME == "bf16"
+            else jax.lax.Precision.HIGHEST)
     return jax.lax.dot_general(ident, v, (((1,), (0,)), ((), ())),
-                               preferred_element_type=v.dtype)
+                               preferred_element_type=v.dtype,
+                               precision=prec)
 
 
 def _selrow(mask, a, b):
@@ -131,11 +197,13 @@ def _selrow(mask, a, b):
     demands the (non-replicated) value operands relayout to match — an
     invalid relayout Mosaic rejects. The matmul-produced mask has a standard
     dense layout, so the select sees agreeing layouts. NaN-safe (a real
-    select, not an arithmetic lerp)."""
+    select, not an arithmetic lerp). The outer product of exact 0/1 values
+    is exact at ANY matmul precision, so it always runs single-pass."""
     ones = jnp.ones((a.shape[0], 1), a.dtype)
     mf = jax.lax.dot_general(ones, mask.astype(a.dtype),
                              (((1,), (0,)), ((), ())),
-                             preferred_element_type=a.dtype)
+                             preferred_element_type=a.dtype,
+                             precision=jax.lax.Precision.DEFAULT)
     return jnp.where(mf > 0.5, a, b)
 
 
@@ -161,12 +229,14 @@ def _two_loop_t(g, lm_s, lm_y, lm_ys, bound, ys, yy):
 def _solve_rounds(x0, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
                   p: LBFGSParams, max_iter: int,
                   unroll_chunks: bool = False, mxu: str = "f32",
-                  clean_hist: bool = True) -> _Carry:
+                  clean_hist: bool = True, frame: str = "f32") -> _Carry:
     """The fused round loop over values (runs inside the kernel; also
     testable as plain XLA). mxu="x3" runs the objective's sample-map
     matmuls as 3-pass bf16 splits (kcost._dot3) while the solver frame
     (canonicalization matmuls, dot products, two-loop) stays on exact
     fp32 contracts — the in-round mixed-precision line search."""
+    global _FRAME
+    _FRAME = frame          # trace-time switch for _dot/_clean_*/_selrow
     dtype = x0.dtype
     DPx, TB = x0.shape
     m, past = p.mem_size, max(p.past, 1)
@@ -346,12 +416,14 @@ def _solve_rounds(x0, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
 
 def _kernel(x0_ref, bnd_ref, misc_ref, cn_ref, cp_ref, cm_ref, obsc_ref,
             P_ref, Q_ref, gridc_ref, xout_ref, stats_ref,
-            *, dims, sw, p, max_iter, mxu="f32", clean_hist=True):
+            *, dims, sw, p, max_iter, mxu="f32", clean_hist=True,
+            frame="f32"):
     sc = KScenario(bnd=bnd_ref[:], misc=misc_ref[:], corr_n=cn_ref[:],
                    corr_p=cp_ref[:], corr_m=cm_ref[:], obs_c=obsc_ref[:])
     kc = KConsts(P=P_ref[:], Q=Q_ref[:], gridc=gridc_ref[:])
     out = _solve_rounds(x0_ref[:], sc, kc, sw, dims, p, max_iter,
-                        unroll_chunks=True, mxu=mxu, clean_hist=clean_hist)
+                        unroll_chunks=True, mxu=mxu, clean_hist=clean_hist,
+                        frame=frame)
     xout_ref[:] = out.xp
     f32 = out.xp.dtype
     TB = out.fp.shape[-1]
@@ -422,7 +494,7 @@ def _finalize(batch, out_x, out_f, out_status, out_k, w, dims, cfg, D):
 def solve_batch_rounds(batch: Scenario, w: Weights, dims: Dims,
                        cfg: PlannerConfig,
                        max_iterations: int | None = None,
-                       mxu: str = "f32") -> SolveResult:
+                       mxu: str = "f32", frame: str = "f32") -> SolveResult:
     """The asynchronous-lane round loop as a PLAIN XLA program (no Pallas).
 
     Two structural wins over solver.solve_batch_bminor, independent of any
@@ -443,7 +515,8 @@ def solve_batch_rounds(batch: Scenario, w: Weights, dims: Dims,
     sw = StaticW.build(w, cfg, concrete=False)
     with jax.default_matmul_precision("float32"):
         batch, x0p, sc, kc, D = _prep(batch, w, dims, cfg, dtype)
-        out = _solve_rounds(x0p, sc, kc, sw, dims, p, max_iter, mxu=mxu)
+        out = _solve_rounds(x0p, sc, kc, sw, dims, p, max_iter, mxu=mxu,
+                            frame=frame)
     return _finalize(batch, out.xp, out.fp[0],
                      out.status[0].astype(jnp.int32),
                      out.k[0].astype(jnp.int32), w, dims, cfg, D)
@@ -474,15 +547,23 @@ def solve_batch_fused(batch: Scenario, w: Weights, dims: Dims,
           solve_batch_fused_mixed.
     """
     clean_hist = os.environ.get("DFTPAV_CLEAN_HIST", "1") != "0"
+    # solver-frame matmul mode: "fast" runs the layout-forced relayout/
+    # reduction matmuls as few-pass bf16 splits (exact cleans, 2^-17
+    # dots). Measured SLOWER than the fp32 contracts on the v5e (3,947 vs
+    # 4,134 solves/s at B=1024 — the split's per-element converts cost
+    # more than the contract passes save), so "f32" stays the default;
+    # the path is kept for future hardware where the trade flips.
+    frame = os.environ.get("DFTPAV_FRAME", "f32")
     if mxu_precision in ("float32", "x3"):
         mxu = "x3" if mxu_precision == "x3" else "f32"
         with jax.default_matmul_precision("float32"):
             return _solve_batch_fused(batch, w, dims, cfg, max_iterations,
                                       tb, interpret, x0_override, return_x,
-                                      mxu=mxu, clean_hist=clean_hist)
+                                      mxu=mxu, clean_hist=clean_hist,
+                                      frame=frame)
     return _solve_batch_fused(batch, w, dims, cfg, max_iterations, tb,
                               interpret, x0_override, return_x,
-                              clean_hist=clean_hist)
+                              clean_hist=clean_hist, frame=frame)
 
 
 def solve_batch_fused_mixed(batch: Scenario, w: Weights, dims: Dims,
@@ -511,7 +592,7 @@ def solve_batch_fused_mixed(batch: Scenario, w: Weights, dims: Dims,
 
 def _solve_batch_fused(batch, w, dims, cfg, max_iterations, tb, interpret,
                        x0_override=None, return_x=False, mxu="f32",
-                       clean_hist=True):
+                       clean_hist=True, frame="f32"):
     dtype = jnp.float32 if not interpret else batch.init_T.dtype
     B = batch.ini_state.shape[0]
     assert B % tb == 0, (B, tb)
@@ -537,7 +618,7 @@ def _solve_batch_fused(batch, w, dims, cfg, max_iterations, tb, interpret,
     dp = dp_of(dims)
     kern = functools.partial(_kernel, dims=dims, sw=sw, p=p,
                              max_iter=max_iter, mxu=mxu,
-                             clean_hist=clean_hist)
+                             clean_hist=clean_hist, frame=frame)
     x_out, stats = pl.pallas_call(
         kern,
         grid=(B // tb,),

@@ -171,12 +171,25 @@ def make_solver(cfg: PlannerConfig, dims: Dims,
         compiled = {}
 
         def fused(batch, w):
-            key = tuple(float(_np.asarray(v)) for v in w)
+            wkey = tuple(float(_np.asarray(v)) for v in w)
+            shapes = tuple((tuple(a.shape), str(a.dtype)) for a in batch)
+            key = (wkey, shapes)
             if key not in compiled:
                 wk = w
-                compiled[key] = jax.jit(lambda b: impl(
+                jitted = jax.jit(lambda b: impl(
                     b, wk, dims=dims, cfg=cfg,
                     max_iterations=max_iterations))
+                # serialized-executable cache: a previously-compiled class
+                # cold-loads in <1 s instead of re-paying the 150-230 s
+                # remote compile (utils/exec_cache; DFTPAV_EXEC_CACHE=0
+                # disables)
+                from dftpav_tpu.utils import exec_cache
+                compiled[key] = exec_cache.load_or_compile(
+                    jitted, (batch,),
+                    key_parts=(engine, mxu, dims, max_iterations, wkey,
+                               repr(cfg)),
+                    verbose=_os.environ.get("DFTPAV_EXEC_CACHE_VERBOSE")
+                    == "1")
             return compiled[key](batch)
 
         return fused

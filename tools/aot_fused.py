@@ -29,9 +29,11 @@ def main():
     S = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     N = int(sys.argv[5]) if len(sys.argv) > 5 else 8
     mxu = sys.argv[6] if len(sys.argv) > 6 else "float32"
+    ns = (tuple(int(v) for v in sys.argv[7].split(","))
+          if len(sys.argv) > 7 else None)
 
     cfg = PlannerConfig()
-    dims = Dims(S=S, N=N, K=16, Kdes=32, H=4, O=2, Po=8)
+    dims = Dims(S=S, N=N, K=16, Kdes=32, H=4, O=2, Po=8, Ns=ns)
     if S == 1:
         scens = scenarios.batch_scenarios(dims, B, seed=7, dtype=np.float32,
                                           n_obstacles=2)
