@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -51,10 +52,12 @@ def _pad8(n: int) -> int:
 
 
 def chunk_rows(R: int) -> int:
-    """Largest 8-aligned chunk size (<= 32 rows) dividing the sample axis;
-    the penalty integrator scans over chunks of this many rows (see
-    eval_cost)."""
-    for ch in (32, 24, 16, 8):
+    """Largest 8-aligned chunk size dividing the sample axis; the penalty
+    integrator scans over chunks of this many rows (see eval_cost).
+    DFTPAV_CH overrides the cap (experiment knob; the 32-row default cap
+    dates from the VMEM-spill era of the whole-program VJP)."""
+    cap = int(os.environ.get("DFTPAV_CH", "32"))
+    for ch in range(cap - cap % 8, 7, -8):
         if R % ch == 0:
             return ch
     return R
@@ -649,8 +652,14 @@ def _make_chunk_fn(sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
             return jnp.sum(wq * pen_d, axis=0)
 
         cost_dyn = 0.0
+        # no-remat default: the per-chunk obstacle block fits VMEM without
+        # rematerialization (the 165-184 MB spills were the MONOLITHIC
+        # whole-program VJP), and skipping the recompute measures +3%
+        # throughput with a faster compile; DFTPAV_OBS_CKPT=1 restores it
+        obs_wrap = (_ckpt if os.environ.get("DFTPAV_OBS_CKPT", "0") == "1"
+                    else (lambda f: f))
         for o in range(O):
-            cost_dyn = cost_dyn + _ckpt(
+            cost_dyn = cost_dyn + obs_wrap(
                 functools.partial(obstacle_cost, o))(
                 sig_x, sig_y, u, v, wq, dTc, ttc, valid, frac_c)
         cost_dyn = sw.wei_surround * cost_dyn
@@ -711,9 +720,11 @@ def eval_fg(x, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
     vals, vjp_pre = jax.vjp(lambda xv: _pre(xv, sc, sw, dims), x)
     rhs_x, rhs_y, dTs, tts, _T = vals
 
-    ones = jnp.ones(x.shape[-1:], dtype)
     fs, vjp_s = jax.vjp(
         lambda v: _smooth_from_vals(v, sc, kc, sw, dims, mxu), vals)
+    # ones_like (not jnp.ones(shape)): under shard_map with check_vma the
+    # cotangent must carry the same varying-manual-axes type as the output
+    ones = jnp.ones_like(fs)
     cots = vjp_s(ones)[0]
     f = fs
 

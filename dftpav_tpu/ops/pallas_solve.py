@@ -255,22 +255,28 @@ def _solve_rounds(x0, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
     dginit0 = _dot(g0, d0)
     stp0 = 1.0 / jnp.maximum(jnp.sqrt(_dot(d0, d0)), 1e-30)
 
+    # init members derive from x0 so their varying-manual-axes type under
+    # shard_map matches the (data-derived) body outputs — fresh
+    # jnp.zeros(...) would be unvarying and fail the while_loop carry check
+    zrow = x0[:1] * 0.0                                  # varying [1, TB]
+    zmat = x0 * 0.0
     init = _Carry(
         xp=x0, fp=f0, gp=g0, d=d0, stp=stp0,
         finit=f0, dgtest=p.f_dec_coeff * dginit0,
         dstest=p.s_curv_coeff * dginit0,
-        mu=jnp.zeros((1, TB), dtype), nu=jnp.full((1, TB), p.max_step, dtype),
-        brackt=jnp.zeros((1, TB), dtype), touched=jnp.zeros((1, TB), dtype),
-        lscnt=jnp.zeros((1, TB), dtype),
-        lm_s=tuple(jnp.zeros((DPx, TB), dtype) for _ in range(m)),
-        lm_y=tuple(jnp.zeros((DPx, TB), dtype) for _ in range(m)),
-        lm_ys=tuple(jnp.ones((1, TB), dtype) for _ in range(m)),
-        bound=jnp.zeros((1, TB), dtype), k=jnp.ones((1, TB), dtype),
-        pf=jnp.concatenate([f0, jnp.zeros((past - 1, TB), dtype)])
+        mu=zrow, nu=zrow + p.max_step,
+        brackt=zrow, touched=zrow,
+        lscnt=zrow,
+        lm_s=tuple(zmat for _ in range(m)),
+        lm_y=tuple(zmat for _ in range(m)),
+        lm_ys=tuple(zrow + 1.0 for _ in range(m)),
+        bound=zrow, k=zrow + 1.0,
+        pf=jnp.concatenate(
+            [f0, jnp.broadcast_to(zrow, (past - 1, TB))])
         if past > 1 else f0,
-        n_evals=jnp.ones((1, TB), dtype),
+        n_evals=zrow + 1.0,
         status=jnp.where(already, Status.CONVERGENCE,
-                         Status.RUNNING).astype(dtype),
+                         Status.RUNNING).astype(dtype) + zrow,
     )
 
     onehot_rows = jax.lax.broadcasted_iota(jnp.int32, (past, TB), 0)

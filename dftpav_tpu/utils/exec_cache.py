@@ -59,7 +59,13 @@ def cache_key(key_parts) -> str:
         dev_kind = f"{dev.platform}:{getattr(dev, 'device_kind', '?')}"
     except Exception:
         dev_kind = "none"
-    payload = repr((jax.__version__, dev_kind, _source_hash(), key_parts))
+    # every DFTPAV_* env knob can change the traced program (chunk size,
+    # remat choices, frame/mxu modes) — fold them all into the key
+    knobs = tuple(sorted((k, v) for k, v in os.environ.items()
+                         if k.startswith("DFTPAV_")
+                         and not k.startswith("DFTPAV_EXEC_CACHE")))
+    payload = repr((jax.__version__, dev_kind, _source_hash(), knobs,
+                    key_parts))
     return hashlib.sha256(payload.encode()).hexdigest()[:24]
 
 
