@@ -30,6 +30,15 @@ import numpy as np  # noqa: E402
 
 BASELINE_SOLVES_PER_S = 100.0
 
+# Adaptive line-search warm start (pallas_solve: next line search starts
+# from the lane's previous accepted step, doubled, floored at 0.2 —
+# DFTPAV_ADAPTIVE_STEP_LO): measured 4,571 vs 4,134 solves/s at B=1024
+# with success 0.999 and cost p50 +1.05% vs bminor (inside the 2% gate).
+# Env-gated (not the library default) so lbfgs.hpp trial-sequence parity
+# tests keep their exact semantics; the executable cache keys on it.
+os.environ.setdefault("DFTPAV_ADAPTIVE_STEP", "1")
+os.environ.setdefault("DFTPAV_ADAPTIVE_STEP_LO", "0.2")
+
 
 def _frontend_batch_cached(dims, B, seed):
     """Front-end-sourced scenarios (real kino-A*/corridor geometry) with an
@@ -186,6 +195,8 @@ def main():
         "compile_s": round(compile_s, 1),
         "engine": engine,
         "source": source,
+        "adaptive_step": os.environ.get("DFTPAV_ADAPTIVE_STEP", "0"),
+        "exec_cache": os.environ.get("DFTPAV_EXEC_CACHE", "1"),
         **frontend_fields,
         **multigear_fields,
         "device": str(jax.devices()[0]),

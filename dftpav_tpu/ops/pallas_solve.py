@@ -237,6 +237,7 @@ def _solve_rounds(x0, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
     fp32 contracts — the in-round mixed-precision line search."""
     global _FRAME
     _FRAME = frame          # trace-time switch for _dot/_clean_*/_selrow
+    adaptive_step = os.environ.get("DFTPAV_ADAPTIVE_STEP", "0") == "1"
     dtype = x0.dtype
     DPx, TB = x0.shape
     m, past = p.mem_size, max(p.past, 1)
@@ -404,7 +405,18 @@ def _solve_rounds(x0, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
         brackt = (brackt_b & ~accept).astype(dtype)
         touched = (touched_b & ~accept).astype(dtype)
         lscnt = jnp.where(accept, 0, lscnt)
-        stp = jnp.where(accept, 1.0, jnp.where(cont, stp_n, c.stp))
+        if adaptive_step:
+            # warm-start the next line search from the lane's ACCEPTED
+            # step instead of the constant 1.0 (lbfgs.hpp behavior): lanes
+            # whose good step is persistently < 1 skip the reject/bisect
+            # trials. Doubled and capped at 1 so well-scaled lanes keep
+            # the unit Newton step; same stationary points, different
+            # trial sequence (off by default for lbfgs.hpp path parity).
+            lo = float(os.environ.get("DFTPAV_ADAPTIVE_STEP_LO", "0.5"))
+            stp_init = jnp.clip(c.stp * 2.0, lo, 1.0)
+        else:
+            stp_init = jnp.ones_like(c.stp)
+        stp = jnp.where(accept, stp_init, jnp.where(cont, stp_n, c.stp))
 
         xp = _clean_mat(_selrow(accept, x_try, c.xp))
         gp = _clean_mat(_selrow(accept, g_try, c.gp))

@@ -70,8 +70,12 @@ def make_sharded_solver(mesh: Mesh, cfg: PlannerConfig, dims: Dims,
                        max_iterations=max_iterations, tb=tb)
             return res, _metrics_of(res, axis)
 
+        # check_vma=False: pallas_call's out_shape ShapeDtypeStructs carry
+        # no varying-manual-axes annotation, which the vma checker rejects;
+        # the solve is purely data-parallel (no in-solve collectives), so
+        # the check adds nothing here — the bminor/rounds path keeps it on
         fused_fn = jax.jit(
-            jax.shard_map(step_f, mesh=mesh,
+            jax.shard_map(step_f, mesh=mesh, check_vma=False,
                           in_specs=(P(axis),), out_specs=(P(axis), P())))
         return lambda batch, w=None: fused_fn(batch)
 

@@ -48,9 +48,14 @@ def _bench_fixture(B):
 @requires_tpu
 def test_fused_kernel_hardware_smoke():
     """Gates the PUBLISHED program: bench batch size (B=1024 — VMEM fit and
-    tile scheduling are size-dependent) and the bench engine/precision."""
+    tile scheduling are size-dependent), the bench engine/precision AND the
+    bench's adaptive-line-search setting (bench.py sets the same envs)."""
+    import os
+
     from dftpav_tpu import solver
 
+    os.environ.setdefault("DFTPAV_ADAPTIVE_STEP", "1")
+    os.environ.setdefault("DFTPAV_ADAPTIVE_STEP_LO", "0.2")
     B = 1024
     cfg, dims, batch, w = _bench_fixture(B)
 

@@ -1,4 +1,5 @@
-"""Smoke the multigear (S=2, N=4) class on the current backend.
+"""Smoke the multigear reverse-park class (per-segment (8, 2) piecing)
+on the current backend.
 
 Usage: python tools/smoke_multigear.py [engine] [B] [MI]
 Uses the bench's cached front-end fixture.
@@ -25,10 +26,10 @@ def main():
     mi = int(sys.argv[3]) if len(sys.argv) > 3 else 150
 
     cfg = PlannerConfig()
-    dims = Dims(S=2, N=4, K=16, Kdes=32, H=4, O=2, Po=8)
+    dims = Dims(S=2, N=8, K=16, Kdes=32, H=4, O=2, Po=8, Ns=(8, 2))
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), ".bench_cache",
-        "frontend_b512_s11_S2N4K1632O2.npz")
+        "frontend_b512_s11_S2N8K1632O2Ns8-2.npz")
     with np.load(path) as z:
         scens = Scenario(**{k: z[k][:B] for k in z.files})
     w = weights_from_config(cfg.opt, dtype=jnp.float32)
@@ -46,7 +47,7 @@ def main():
         c = np.asarray(res.cost)
         best = min(best, time.time() - t1)
     su = np.asarray(res.success.astype(jnp.int32))
-    print(f"{engine} S=2 N=4 B={B} MI={mi}: wall={best*1e3:.1f}ms "
+    print(f"{engine} S=2 Ns=(8,2) B={B} MI={mi}: wall={best*1e3:.1f}ms "
           f"solves/s={B/best:.1f}")
     print(f"success={su.mean():.4f} cost_p50={np.median(c):.1f}")
 
