@@ -247,7 +247,45 @@ def _solve_rounds(x0, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
         return kcost.eval_fg(x, sc, kc, sw, dims,
                              unroll_chunks=unroll_chunks, mxu=mxu)
 
-    f0, g0 = fg(x0)
+    if os.environ.get("DFTPAV_T_PRESCALE", "0") == "1":
+        # initial time-scaling line search: evaluate the initial point at
+        # a few total-duration multiples and start each lane from its
+        # best. The initial T heuristic (e.g. dist/3) is the slowest-
+        # converging direction when it is far off; 3 extra objective
+        # evaluations (~3 rounds) can replace dozens of L-BFGS rounds
+        # spent stretching time. Env-gated experiment.
+        from dftpav_tpu.cost import real_to_virtual, virtual_to_real
+
+        S, N = dims.S, dims.N
+        n_in = 2 * S * (N - 1)
+        # vt-row selector built from iota INSIDE the trace (a captured
+        # host constant would trip pallas_call's closed-constant check)
+        r_idx = jax.lax.broadcasted_iota(jnp.int32, (S, DPx), 1)
+        s_idx = jax.lax.broadcasted_iota(jnp.int32, (S, DPx), 0)
+        sel = (r_idx == n_in + s_idx).astype(dtype)
+        dot = lambda A, B: jax.lax.dot_general(
+            A, B, (((1,), (0,)), ((), ())), preferred_element_type=dtype)
+
+        def scaled(c):
+            V = dot(sel, x0)                           # [S, TB] vt rows
+            T = virtual_to_real(V, sw.mini_t)
+            V2 = real_to_virtual(T * c, sw.mini_t)
+            return x0 + dot(sel.T, V2 - V)
+
+        xbest = x0
+        fbest, gbest = fg(x0)
+        fbest = _clean_row(fbest)
+        for c in (0.65, 1.5, 2.4):
+            xc = scaled(c)
+            fc, gc = fg(xc)
+            fc = _clean_row(fc)
+            better = fc < fbest
+            xbest = _selrow(better, xc, xbest)
+            gbest = _selrow(better, gc, gbest)
+            fbest = jnp.where(better, fc, fbest)
+        x0, f0, g0 = xbest, fbest[0], gbest
+    else:
+        f0, g0 = fg(x0)
     f0 = _clean_row(f0)                                  # [1, TB]
     d0 = -g0
     gnorm = jnp.max(jnp.abs(g0), axis=0, keepdims=True)

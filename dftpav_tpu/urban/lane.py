@@ -40,6 +40,11 @@ class Lane(NamedTuple):
     curvature: jnp.ndarray  # [P]
     ds: jnp.ndarray         # [] sample spacing (m)
     n_valid: jnp.ndarray    # [] int32, number of real samples (<= P)
+    # closed (ring) lane: arc-length queries WRAP modulo the length instead
+    # of clamping at the seam — the reference's Lane abstraction has no
+    # end-of-lane artifact on its closed courses (ring_exp_v1.0), and
+    # neither do pure-pursuit lookahead targets here
+    closed: jnp.ndarray = np.zeros((), bool)
 
     @property
     def length(self) -> jnp.ndarray:
@@ -104,13 +109,18 @@ def _catmull_rom(points: np.ndarray, samples_per_seg: int = 32) -> np.ndarray:
 
 
 def build_lane(waypoints, ds: float = 0.5, P: int = 512,
-               dtype=np.float32) -> Lane:
+               dtype=np.float32, closed: bool | None = None) -> Lane:
     """Fit + uniformly resample a lane from sparse waypoints (host, NumPy).
 
     Equivalent role to LaneGenerator::GetLaneBySampleFitting
     (reference: src/Sim/core/common/src/common/spline/spline_generator.cc).
+    `closed=None` auto-detects a ring (first and last waypoint coincide);
+    closed lanes wrap arc-length queries at the seam.
     """
-    dense = _catmull_rom(np.asarray(waypoints, dtype=np.float64))
+    wp = np.asarray(waypoints, dtype=np.float64)
+    if closed is None:
+        closed = bool(np.allclose(wp[0], wp[-1], atol=1e-6))
+    dense = _catmull_rom(wp)
     seg = np.linalg.norm(np.diff(dense, axis=0), axis=1)
     keep = np.concatenate([[True], seg > 1e-12])
     dense = dense[keep]
@@ -141,6 +151,7 @@ def build_lane(waypoints, ds: float = 0.5, P: int = 512,
         curvature=jnp.asarray(kappa, dtype=dtype),
         ds=jnp.asarray(ds, dtype=dtype),
         n_valid=jnp.asarray(n, dtype=jnp.int32),
+        closed=jnp.asarray(bool(closed)),
     )
 
 
@@ -158,7 +169,9 @@ def build_lane_set(lanes: list[Lane], left_ids, right_ids) -> LaneSet:
 
 def _interp_idx(lane: Lane, s):
     smax = lane.length
-    s = jnp.clip(s, 0.0, smax)
+    # closed lanes wrap (s mod length); open lanes clamp at the ends
+    s_wrap = s - jnp.floor(s / jnp.maximum(smax, 1e-6)) * smax
+    s = jnp.where(lane.closed, s_wrap, jnp.clip(s, 0.0, smax))
     f = s / lane.ds
     i0 = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, lane.n_valid - 2)
     w = f - i0.astype(f.dtype)

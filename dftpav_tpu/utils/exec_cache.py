@@ -89,7 +89,12 @@ def load_or_compile(jitted, args, key_parts, cache_dir: str | None = None,
     cdir = cache_dir or os.environ.get("DFTPAV_EXEC_CACHE_DIR", DEFAULT_DIR)
     path = os.path.join(cdir, key + ".pkl")
 
-    if enabled() and os.path.exists(path):
+    # deserialized executables re-target ALL local devices: under a
+    # multi-device host (e.g. the 8-virtual-CPU test mesh) a blob compiled
+    # single-device fails at dispatch, so the load path is single-device
+    # only (the TPU relay exposes one device — the case that matters)
+    single_dev = len(jax.devices()) == 1
+    if enabled() and single_dev and os.path.exists(path):
         try:
             with open(path, "rb") as f:
                 blob = pickle.load(f)

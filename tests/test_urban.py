@@ -635,3 +635,52 @@ class TestEudmManager:
         assert d2.ongoing_lat == mpdm.LK
         assert srv._snapshot.lc_lat != mpdm.LCL or \
             int(srv._snapshot.action_seq[0, 1]) == mpdm.LK
+
+
+class TestRingLane:
+    def test_closed_lane_wraps_at_seam(self):
+        """Ring lanes (closed courses like the reference's ring_exp_v1.0)
+        wrap arc-length queries: a lookahead past the seam lands at the
+        lap start instead of freezing on the last sample."""
+        th = np.linspace(0.0, 2 * np.pi, 64)
+        wp = np.stack([20.0 * np.cos(th), 20.0 * np.sin(th)], axis=1)
+        ring = lane_mod.build_lane(wp, ds=0.5, P=512)
+        assert bool(ring.closed)
+        L = float(ring.length)
+        p_wrap, t_wrap, _ = lane_mod.lane_point(ring, jnp.asarray(L + 3.0))
+        p_ref, t_ref, _ = lane_mod.lane_point(ring, jnp.asarray(3.0))
+        np.testing.assert_allclose(np.asarray(p_wrap), np.asarray(p_ref),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(t_wrap), np.asarray(t_ref),
+                                   atol=1e-5)
+        # an OPEN lane with the same geometry still clamps
+        open_lane = lane_mod.build_lane(wp[:48], ds=0.5, P=512)
+        assert not bool(open_lane.closed)
+        Lo = float(open_lane.length)
+        p_end, _, _ = lane_mod.lane_point(open_lane, jnp.asarray(Lo + 3.0))
+        p_last, _, _ = lane_mod.lane_point(open_lane, jnp.asarray(Lo))
+        np.testing.assert_allclose(np.asarray(p_end), np.asarray(p_last),
+                                   atol=1e-6)
+
+    def test_pure_pursuit_crosses_seam(self):
+        """Closed-loop: an agent tracking a ring lane keeps converging to
+        the centerline across the seam (no end-of-lane lookahead freeze)."""
+        th = np.linspace(0.0, 2 * np.pi, 64)
+        wp = np.stack([30.0 * np.cos(th), 30.0 * np.sin(th)], axis=1)
+        ring = lane_mod.build_lane(wp, ds=0.5, P=512)
+        lanes = jax.tree.map(lambda f: f[None], ring)
+        # start just BEFORE the seam (s ~ length - 5), on-lane heading
+        L = float(ring.length)
+        pos, heading = lane_mod.state_of_frenet(ring, jnp.asarray(L - 5.0),
+                                                jnp.asarray(0.0))
+        states = jnp.concatenate([pos, jnp.asarray([float(heading), 6.0,
+                                                    0.0, 0.0])])[None]
+        traj = fsim.rollout(lanes, states, default_geom(1),
+                            jnp.array([6.0]), fsim.SimParam(), 0.2, 60)
+        # 12 s at ~6 m/s crosses the seam; lateral deviation stays small
+        radii = np.linalg.norm(np.asarray(traj[:, 0, 0:2]), axis=-1)
+        assert np.abs(radii - 30.0).max() < 0.6
+        # and the vehicle actually passed the seam (angle wrapped)
+        ang = np.unwrap(np.arctan2(np.asarray(traj[:, 0, 1]),
+                                   np.asarray(traj[:, 0, 0])))
+        assert ang[-1] - ang[0] > 5.2 / 30.0 * 60 * 0.2 * 0.5

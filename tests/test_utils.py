@@ -100,3 +100,71 @@ class TestSerialization:
                                        jnp.asarray(dT2[0]), 1, 2.85,
                                        jnp.asarray([0.5]))
         assert float(st["vel"][0]) == pytest.approx(1.0, abs=1e-6)
+
+
+class TestExecCache:
+    def test_keys_and_save(self, tmp_path, monkeypatch):
+        """utils/exec_cache: blobs are written per key; DFTPAV_* knobs and
+        key parts change the key; the kill switch bypasses the cache.
+        (The LOAD path is single-device only — a deserialized executable
+        re-targets all local devices, which the 8-virtual-CPU suite mesh
+        cannot satisfy; the real load/run roundtrip is exercised on the
+        TPU by solver.make_solver(engine='fused') + test_fused_hw.)"""
+        import jax
+        import jax.numpy as jnp
+
+        from dftpav_tpu.utils import exec_cache
+
+        def f(x):
+            return (x * 2.0 + 1.0).sum(axis=-1)
+
+        x = jnp.arange(12.0).reshape(3, 4)
+        jitted = jax.jit(f)
+        c1 = exec_cache.load_or_compile(jitted, (x,), key_parts="a",
+                                        cache_dir=str(tmp_path))
+        out1 = np.asarray(c1(x))
+        np.testing.assert_allclose(out1, np.asarray(f(x)))
+        assert len(list(tmp_path.glob("*.pkl"))) == 1
+        # same key -> no new entry
+        exec_cache.load_or_compile(jitted, (x,), key_parts="a",
+                                   cache_dir=str(tmp_path))
+        assert len(list(tmp_path.glob("*.pkl"))) == 1
+        # different key parts -> different entry
+        exec_cache.load_or_compile(jitted, (x,), key_parts="b",
+                                   cache_dir=str(tmp_path))
+        assert len(list(tmp_path.glob("*.pkl"))) == 2
+        # a DFTPAV_* knob folds into the key
+        key_before = exec_cache.cache_key("a")
+        monkeypatch.setenv("DFTPAV_SOME_KNOB", "1")
+        assert exec_cache.cache_key("a") != key_before
+        exec_cache.load_or_compile(jitted, (x,), key_parts="a",
+                                   cache_dir=str(tmp_path))
+        assert len(list(tmp_path.glob("*.pkl"))) == 3
+        # kill switch bypasses both read and write
+        monkeypatch.setenv("DFTPAV_EXEC_CACHE", "0")
+        c4 = exec_cache.load_or_compile(jitted, (x,), key_parts="zz",
+                                        cache_dir=str(tmp_path))
+        np.testing.assert_allclose(np.asarray(c4(x)), out1)
+        assert len(list(tmp_path.glob("*.pkl"))) == 3
+
+    def test_load_roundtrip_single_device(self, tmp_path):
+        """On a single-device backend the second call LOADS the serialized
+        executable and runs it (skipped on the multi-device suite mesh)."""
+        import jax
+        import jax.numpy as jnp
+
+        from dftpav_tpu.utils import exec_cache
+
+        if len(jax.devices()) != 1:
+            pytest.skip("load path is single-device only")
+
+        def f(x):
+            return x * 3.0
+
+        x = jnp.arange(6.0)
+        jitted = jax.jit(f)
+        c1 = exec_cache.load_or_compile(jitted, (x,), key_parts="r",
+                                        cache_dir=str(tmp_path))
+        c2 = exec_cache.load_or_compile(jitted, (x,), key_parts="r",
+                                        cache_dir=str(tmp_path))
+        np.testing.assert_allclose(np.asarray(c2(x)), np.asarray(c1(x)))
