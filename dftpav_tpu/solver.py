@@ -12,6 +12,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dftpav_tpu import cost as cost_mod
 from dftpav_tpu import lbfgs, minco
@@ -206,3 +207,51 @@ def make_solver(cfg: PlannerConfig, dims: Dims,
                               max_iterations=max_iterations),
             in_axes=(0, None))
     return jax.jit(fn) if jit else fn
+
+
+def solve_with_retry(solve, batch: Scenario, w: Weights,
+                     time_scales=(1.6, 0.7), pad_to: int = 128):
+    """Solve, then re-solve the FAILED lanes with rescaled initial
+    durations, keeping each lane's first successful result.
+
+    The reference deals with hard instances by retrying (relaxed-direction
+    kino search, traj_manager.cpp:90-103; the server keeps the previous
+    trajectory when the optimizer fails, traj_server_ros.cpp:166-186).
+    For the batched engine the analogous recovery is a retry ladder on the
+    initial time guess: most residual failures are line-search stalls from
+    a bad init_T (too-stiff warm-start spline), and a stretched (or
+    shrunk) initial duration reaches a different basin. Failed lanes are
+    host-gathered into a small padded batch (tile-size multiple for the
+    fused kernel), re-solved per scale, and scattered back.
+
+    `solve`: a (batch, w) -> SolveResult callable from make_solver (any
+    engine; batch sizes padded to `pad_to` must be compile-compatible —
+    the fused kernel retraces once per retry batch size).
+    """
+    res = solve(batch, w)
+    success = np.asarray(res.success).copy()
+    out = jax.tree.map(np.asarray, res)
+    for scale in time_scales:
+        idx = np.nonzero(~success)[0]
+        if idx.size == 0:
+            break
+        n = int(-(-idx.size // pad_to) * pad_to)
+        sel = np.concatenate([idx, np.repeat(idx[:1], n - idx.size)])
+        sub = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[sel]), batch)
+        sub = sub._replace(init_T=sub.init_T * scale)
+        r2 = solve(sub, w)
+        ok2 = np.asarray(r2.success)[: idx.size]
+        fixed = idx[ok2]
+        if fixed.size:
+            take = np.nonzero(ok2)[0]
+            out = type(out)(*(
+                _scatter_rows(f_out, fixed, np.asarray(f_new)[take])
+                for f_out, f_new in zip(out, r2)))
+            success[fixed] = True
+    return out._replace(success=success)
+
+
+def _scatter_rows(dst, idx, rows):
+    dst = np.asarray(dst).copy()
+    dst[idx] = rows
+    return dst

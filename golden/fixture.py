@@ -21,32 +21,39 @@ def _fmt(x) -> str:
     return f"{float(x):.17g}"
 
 
-def piece_resolutions(dims) -> list[int]:
+def piece_resolutions(dims, n: int | None = None) -> list[int]:
     """Per-piece sample resolution K_i (traj_optimizer.cpp:486-523: first and
-    last piece use destraj_resolution, interior pieces traj_resolution)."""
-    return [dims.Kdes if i in (0, dims.N - 1) else dims.K
-            for i in range(dims.N)]
+    last piece use destraj_resolution, interior pieces traj_resolution).
+    `n` overrides the piece count (per-segment classes, Dims.Ns)."""
+    n = dims.N if n is None else n
+    return [dims.Kdes if i in (0, n - 1) else dims.K for i in range(n)]
 
 
 def scenario_to_fixture(scen, dims, path, lbfgs_delta=None,
                         lbfgs_past=None) -> None:
-    """Write one UNBATCHED Scenario (numpy float64 leaves) as a driver fixture."""
+    """Write one UNBATCHED Scenario (numpy float64 leaves) as a driver
+    fixture. Per-segment piece classes (dims.Ns) write each segment with
+    its OWN piece count — the reference's adaptive piecing
+    (traj_manager.cpp:543) — reading only that segment's first n_s pieces
+    of inner waypoints / corridors."""
     toks: list[str] = []
     S = int(np.sum(scen.seg_mask))
     toks.append(str(S))
-    ks = piece_resolutions(dims)
+    ns = dims.ns_tuple
     for s in range(S):
-        toks += [str(int(scen.singul[s])), str(dims.N)]
+        n_s = ns[s]
+        ks = piece_resolutions(dims, n_s)
+        toks += [str(int(scen.singul[s])), str(n_s)]
         for M in (scen.ini_state[s], scen.fin_state[s]):
             for c in range(3):
                 for r in range(2):
                     toks.append(_fmt(M[r, c]))
-        for j in range(dims.N - 1):
+        for j in range(n_s - 1):
             toks += [_fmt(scen.init_inner[s, j, 0]),
                      _fmt(scen.init_inner[s, j, 1])]
         toks.append(_fmt(scen.init_T[s]))
         toks.append(str(sum(k + 1 for k in ks)))
-        for i in range(dims.N):
+        for i in range(n_s):
             for j in range(ks[i] + 1):
                 H = int(np.sum(scen.corr_mask[s, i, j]))
                 toks.append(str(H))

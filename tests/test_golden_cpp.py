@@ -300,3 +300,43 @@ def test_golden_deployed_budget_multigear(tmp_path):
     # must not land at a WORSE objective than the reference's (landing
     # deeper is fine — measured -10%)
     assert rel < 0.05
+
+
+def test_golden_adaptive_piecing_multigear(tmp_path):
+    """Multi-gear failure-rate anchor vs the C++ WITH ITS OWN ADAPTIVE
+    PIECING: real front-end reverse-park scenarios of the (8, 2) class are
+    fed to the compiled reference with per-segment piece counts exactly as
+    traj_manager.cpp:543 would choose them (the fixture writer emits each
+    segment at its own N), and to our per-segment engine. The reference
+    runs its FULL deployed budget (12000 iterations); ours runs the bench
+    budget (150) — a comparison conservative in our disfavor. Bar: we
+    succeed on at least as many scenarios (minus 1 sample slack)."""
+    dims = Dims(S=2, N=8, K=16, Kdes=32, H=4, O=0, Po=8, Ns=(8, 2))
+    B = 6
+    batch = scenarios.frontend_batch(dims, B, seed=11, dtype=np.float64,
+                                     max_search_time=0.2)
+
+    # ours: per-segment rounds engine at the bench budget
+    from dftpav_tpu.ops.pallas_solve import solve_batch_rounds
+    import jax
+
+    cfg = PlannerConfig()
+    w = weights_from_config(cfg.opt, jnp.float64)
+    res = solve_batch_rounds(jax.tree.map(jnp.asarray, batch), w, dims, cfg,
+                             max_iterations=150)
+    ours_ok = np.asarray(res.success)
+
+    cpp_ok = []
+    for b in range(B):
+        scen = type(batch)(*(np.asarray(leaf, np.float64)[b]
+                             for leaf in batch))
+        fx = tmp_path / f"fx_{b}.txt"
+        gf.scenario_to_fixture(scen, dims, fx,
+                               lbfgs_delta=cfg.opt.lbfgs.delta)
+        ok, _segs = gf.run_oracle(fx, n_samples=8)
+        cpp_ok.append(bool(ok))
+    cpp_ok = np.asarray(cpp_ok)
+
+    print(f"adaptive-piecing golden: ours {ours_ok.sum()}/{B} "
+          f"cpp {cpp_ok.sum()}/{B} (cpp at 12000 iters, ours at 150)")
+    assert ours_ok.sum() >= cpp_ok.sum() - 1

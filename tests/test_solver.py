@@ -228,3 +228,51 @@ def test_warm_start_replan_multigear():
     T1 = np.asarray(r0.dT)[0, 1] * dims.N
     np.testing.assert_allclose(np.asarray(shifted2.init_T)[0, 0],
                                T1 - 0.2, rtol=0.05)
+
+
+def test_solve_with_retry_scatters_fixed_lanes():
+    """solver.solve_with_retry: failed lanes are re-solved at rescaled
+    initial durations and their results scattered back; successful lanes
+    keep their first result untouched."""
+    import numpy as np
+
+    from dftpav_tpu import scenarios as scen_mod
+    from dftpav_tpu import solver as solver_mod
+    from dftpav_tpu.types import Dims, SolveResult, weights_from_config
+    from dftpav_tpu.config import PlannerConfig
+
+    dims = Dims(S=1, N=8, K=16, Kdes=32, H=4, O=0, Po=8)
+    batch = scen_mod.batch_scenarios(dims, 8, seed=3, dtype=np.float64)
+    batch = jax.tree.map(jnp.asarray, batch)
+    w = weights_from_config(PlannerConfig().opt, jnp.float64)
+
+    calls = []
+
+    def fake_solve(b, _w):
+        B = b.ini_state.shape[0]
+        calls.append((B, np.asarray(b.init_T[:, 0]).copy()))
+        # lanes succeed iff their init_T was scaled up (> 1.5x the base)
+        base = np.asarray(batch.init_T[:, 0])
+        t = np.asarray(b.init_T[:, 0])
+        # first call: lanes 0-5 succeed, 6-7 fail; retry calls: succeed
+        # when the duration was stretched
+        if len(calls) == 1:
+            success = np.arange(B) < 6
+        else:
+            success = t > 1.2 * base[:1]  # stretched
+        return SolveResult(
+            coeffs=jnp.full((B, 1, 8, 6, 2), float(len(calls))),
+            dT=jnp.ones((B, 1)), cost=jnp.full((B,), 7.0),
+            n_iters=jnp.ones((B,), jnp.int32),
+            status=jnp.zeros((B,), jnp.int32),
+            success=jnp.asarray(success))
+
+    out = solver_mod.solve_with_retry(fake_solve, batch, w,
+                                      time_scales=(1.6,), pad_to=4)
+    assert np.asarray(out.success).all()
+    # retried lanes carry the second call's coeffs; others the first's
+    c = np.asarray(out.coeffs)[:, 0, 0, 0, 0]
+    np.testing.assert_array_equal(c[:6], 1.0)
+    np.testing.assert_array_equal(c[6:], 2.0)
+    # the retry batch was padded to a multiple of pad_to
+    assert calls[1][0] == 4
