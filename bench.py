@@ -80,8 +80,9 @@ def main():
     if "--source" in _sys.argv:
         source = _sys.argv[_sys.argv.index("--source") + 1]
     # headline engine: the whole-solve Pallas kernel (hardware-proven
-    # 2,985 solves/s at B=1024/150 iters, success 1.0, cost p50 within 2%
-    # of bminor — see PERF.md); override with BENCH_ENGINE / --engine
+    # 4,620 solves/s at B=1024/150 iters with mxu=x3 + adaptive step,
+    # success 0.999, cost p50 within 2% of bminor — see PERF.md);
+    # override with BENCH_ENGINE / --engine
     engine = os.environ.get("BENCH_ENGINE", "fused")
     if "--engine" in _sys.argv:
         engine = _sys.argv[_sys.argv.index("--engine") + 1]
