@@ -31,13 +31,15 @@ import numpy as np  # noqa: E402
 BASELINE_SOLVES_PER_S = 100.0
 
 # Adaptive line-search warm start (pallas_solve: next line search starts
-# from the lane's previous accepted step, doubled, floored at 0.2 —
-# DFTPAV_ADAPTIVE_STEP_LO): measured 4,571 vs 4,134 solves/s at B=1024
-# with success 0.999 and cost p50 +1.05% vs bminor (inside the 2% gate).
-# Env-gated (not the library default) so lbfgs.hpp trial-sequence parity
-# tests keep their exact semantics; the executable cache keys on it.
+# from the lane's previous accepted step x1.2, floored at 0.2): measured
+# 4,841 vs 4,134 solves/s at B=1024 with success 1.0 and cost p50 +1.90%
+# vs bminor (inside the 2% gate; the x2.0 multiplier gives 4,571 at
+# +1.05% if more margin is ever needed). Env-gated (not the library
+# default) so lbfgs.hpp trial-sequence parity tests keep their exact
+# semantics; the executable cache keys on these.
 os.environ.setdefault("DFTPAV_ADAPTIVE_STEP", "1")
 os.environ.setdefault("DFTPAV_ADAPTIVE_STEP_LO", "0.2")
+os.environ.setdefault("DFTPAV_ADAPTIVE_STEP_MULT", "1.2")
 
 
 def _frontend_batch_cached(dims, B, seed):

@@ -451,7 +451,8 @@ def _solve_rounds(x0, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
             # the unit Newton step; same stationary points, different
             # trial sequence (off by default for lbfgs.hpp path parity).
             lo = float(os.environ.get("DFTPAV_ADAPTIVE_STEP_LO", "0.5"))
-            stp_init = jnp.clip(c.stp * 2.0, lo, 1.0)
+            mult = float(os.environ.get("DFTPAV_ADAPTIVE_STEP_MULT", "2.0"))
+            stp_init = jnp.clip(c.stp * mult, lo, 1.0)
         else:
             stp_init = jnp.ones_like(c.stp)
         stp = jnp.where(accept, stp_init, jnp.where(cont, stp_n, c.stp))

@@ -56,6 +56,7 @@ def test_fused_kernel_hardware_smoke():
 
     os.environ.setdefault("DFTPAV_ADAPTIVE_STEP", "1")
     os.environ.setdefault("DFTPAV_ADAPTIVE_STEP_LO", "0.2")
+    os.environ.setdefault("DFTPAV_ADAPTIVE_STEP_MULT", "1.2")
     B = 1024
     cfg, dims, batch, w = _bench_fixture(B)
 
