@@ -369,7 +369,13 @@ def _pre(x, sc: KScenario, sw: StaticW, dims: Dims):
              ).astype(dtype)
     x = _dotc(ident, x, dtype)
 
-    vt = [x[n_in + s] for s in range(S)]                 # S x [TB]
+    # optional diagonal preconditioning of the virtual-time rows
+    # (DFTPAV_VT_SCALE=sigma): the decision vector mixes meter-scale
+    # waypoints with O(1) virtual times; solving in vt' = vt / sigma
+    # rebalances the gradient so early steepest-descent-like steps move
+    # both. Experiment knob; sigma=1 is the identity.
+    vt_sigma = float(os.environ.get("DFTPAV_VT_SCALE", "1.0"))
+    vt = [x[n_in + s] * vt_sigma for s in range(S)]      # S x [TB]
     T = [virtual_to_real(v, sw.mini_t) for v in vt]
     gp_row = lambda j, d: n_in + S + 2 * j + d
     ga = [x[n_in + S + 2 * (S - 1) + j] for j in range(S - 1)]

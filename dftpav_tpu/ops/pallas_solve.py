@@ -500,6 +500,12 @@ def _prep(batch: Scenario, w: Weights, dims: Dims, cfg: PlannerConfig,
     x0 = jax.vmap(lambda s: cost_mod.initial_guess(s, w, dims))(batch)
     D = x0.shape[1]
     B = x0.shape[0]
+    vt_sigma = float(os.environ.get("DFTPAV_VT_SCALE", "1.0"))
+    if vt_sigma != 1.0:
+        # kcost._pre multiplies the vt rows back by sigma (see its
+        # docstring note): pack the preconditioned coordinates here
+        n_in = 2 * dims.S * (dims.N - 1)
+        x0 = x0.at[:, n_in:n_in + dims.S].divide(vt_sigma)
     x0p = jnp.zeros((dp_of(dims), B), dtype).at[:D].set(x0.T.astype(dtype))
     sc = kcost.prep_scenario(batch, dims, dtype)
     kc = kcost.make_consts(dims, dtype)
@@ -514,6 +520,10 @@ def _finalize(batch, out_x, out_f, out_status, out_k, w, dims, cfg, D):
     from dftpav_tpu import minco
 
     x_fin = out_x[:D]
+    vt_sigma = float(os.environ.get("DFTPAV_VT_SCALE", "1.0"))
+    if vt_sigma != 1.0:
+        n_in = 2 * dims.S * (dims.N - 1)
+        x_fin = x_fin.at[n_in:n_in + dims.S].multiply(vt_sigma)
     u = bcost.unpack_b(x_fin, dims)
     T = cost_mod.virtual_to_real(u.vt, w.mini_t)
     dT = T / dims.N

@@ -55,8 +55,9 @@ def test_fused_kernel_hardware_smoke():
     from dftpav_tpu import solver
 
     os.environ.setdefault("DFTPAV_ADAPTIVE_STEP", "1")
-    os.environ.setdefault("DFTPAV_ADAPTIVE_STEP_LO", "0.2")
+    os.environ.setdefault("DFTPAV_ADAPTIVE_STEP_LO", "0.001")
     os.environ.setdefault("DFTPAV_ADAPTIVE_STEP_MULT", "1.2")
+    os.environ.setdefault("DFTPAV_VT_SCALE", "0.25")
     B = 1024
     cfg, dims, batch, w = _bench_fixture(B)
 
