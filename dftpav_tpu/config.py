@@ -140,6 +140,130 @@ class OptConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class EngineFlags:
+    """Solver-engine tuning knobs (trace-time constants).
+
+    Grown from the round-3/4 DFTPAV_* environment variables into the config
+    system (they used to be read at trace time inside ops/ — exec-cache
+    soundness then required scraping os.environ). Every knob is a
+    compile-time constant: changing one recompiles the solver class.
+    The defaults are the PARITY semantics — exact lbfgs.hpp trial-sequence
+    behavior, fp32-contract matmuls — which the golden C++ parity tests
+    assert explicitly. Benchmarks opt into the tuned stack via
+    `EngineFlags.tuned()`.
+
+    Env overrides: `EngineFlags.from_env(base)` applies any set DFTPAV_*
+    variables over `base` — parsed HERE and nowhere else; library code never
+    reads os.environ.
+    """
+
+    # Line-search warm start: next search starts from the lane's previous
+    # ACCEPTED step x mult (clipped to [lo, 1]) instead of the constant 1.0
+    # (lbfgs.hpp:276 behavior). Same stationary points, different trial
+    # sequence — off by default for exact lbfgs.hpp path parity.
+    adaptive_step: bool = False
+    adaptive_step_lo: float = 0.5
+    adaptive_step_mult: float = 2.0
+    # Diagonal preconditioning of the virtual-time rows: segment s is solved
+    # in vt' = vt / sigma_s, rebalancing the O(1) time coordinates against
+    # the meter-scale waypoints. A float applies one sigma to every segment;
+    # a tuple gives each segment SLOT its own sigma; "auto" derives sigma_s
+    # from the slot's piece count (long slots get strong preconditioning,
+    # short reversal slots keep sigma 1 — the round-4 global sigma=0.25
+    # cost the (8,2) reverse-park class 3% success). See resolve_vt_scale.
+    vt_scale: float | tuple | str = 1.0
+    # Objective sample-map matmul mode: "f32" exact fp32 contracts (~6 bf16
+    # MXU passes), "x3" 3-pass bf16 Dekker splits (~2^-17 relative, the
+    # headline's mixed precision), "bf16" single-pass (line-search-degrading;
+    # exploration only).
+    mxu: str = "f32"
+    # Solver-frame matmul mode for the round loop's layout-forced matmuls
+    # ("f32" exact contracts — measured fastest on v5e; "fast"/"bf16" kept
+    # for hardware where the trade flips — PERF.md).
+    frame: str = "f32"
+    # Canonicalize the L-BFGS history slots each round (Mosaic layout
+    # hygiene; ~2% cost, known-good default).
+    clean_hist: bool = True
+    # Rematerialize the dynamic-obstacle block in the chunked VJP (saves
+    # VMEM at ~3% throughput; only needed if a future class spills).
+    obs_ckpt: bool = False
+    # Initial time-scaling line search (3 extra objective evals probing
+    # total-duration multiples before round 0). Experiment knob.
+    t_prescale: bool = False
+    # Multi-phase lane compaction for the fused kernel: every 128-lane tile
+    # runs rounds until its SLOWEST lane finishes, and the iteration tail
+    # is fat (p50 72, p95 ~150 — ~half of all rounds serve <15% of lanes).
+    # Each (frac, iters) entry appends a phase that gathers the
+    # still-running lanes (device-side top-k, zero host round-trips) into
+    # ceil(frac*B) dense lanes and continues them for `iters` more
+    # iterations (L-BFGS restarts from the carried iterate); the initial
+    # phase gets max_iterations - sum(iters). () = single-phase (exact
+    # round-4 semantics).
+    phases: tuple = ()
+
+    @staticmethod
+    def tuned() -> "EngineFlags":
+        """The benchmark stack (PERF.md round-4/5): in-round mixed-precision
+        matmuls + floorless x1.2 adaptive warm step + auto per-slot
+        virtual-time preconditioning."""
+        return EngineFlags(adaptive_step=True, adaptive_step_lo=1e-3,
+                           adaptive_step_mult=1.2, vt_scale="auto",
+                           mxu="x3")
+
+    @staticmethod
+    def from_env(base: "EngineFlags | None" = None) -> "EngineFlags":
+        """`base` (default EngineFlags()) with any set DFTPAV_* env knobs
+        applied — the ONE place environment variables are parsed."""
+        import os
+
+        f = base or EngineFlags()
+        env = os.environ
+        kw = {}
+        if "DFTPAV_ADAPTIVE_STEP" in env:
+            kw["adaptive_step"] = env["DFTPAV_ADAPTIVE_STEP"] == "1"
+        if "DFTPAV_ADAPTIVE_STEP_LO" in env:
+            kw["adaptive_step_lo"] = float(env["DFTPAV_ADAPTIVE_STEP_LO"])
+        if "DFTPAV_ADAPTIVE_STEP_MULT" in env:
+            kw["adaptive_step_mult"] = float(env["DFTPAV_ADAPTIVE_STEP_MULT"])
+        if "DFTPAV_VT_SCALE" in env:
+            v = env["DFTPAV_VT_SCALE"]
+            kw["vt_scale"] = v if v == "auto" else float(v)
+        if "DFTPAV_MXU" in env:
+            kw["mxu"] = env["DFTPAV_MXU"]
+        if "DFTPAV_FRAME" in env:
+            kw["frame"] = env["DFTPAV_FRAME"]
+        if "DFTPAV_CLEAN_HIST" in env:
+            kw["clean_hist"] = env["DFTPAV_CLEAN_HIST"] != "0"
+        if "DFTPAV_OBS_CKPT" in env:
+            kw["obs_ckpt"] = env["DFTPAV_OBS_CKPT"] == "1"
+        if "DFTPAV_T_PRESCALE" in env:
+            kw["t_prescale"] = env["DFTPAV_T_PRESCALE"] == "1"
+        if "DFTPAV_PHASES" in env:
+            # "0.625:40,0.25:40" -> ((0.625, 40), (0.25, 40)); "" -> ()
+            v = env["DFTPAV_PHASES"]
+            kw["phases"] = tuple(
+                (float(p.split(":")[0]), int(p.split(":")[1]))
+                for p in v.split(",") if p)
+        return dataclasses.replace(f, **kw) if kw else f
+
+
+def resolve_vt_scale(vt_scale, ns_tuple) -> tuple:
+    """Per-segment-slot virtual-time sigma as a tuple of floats.
+
+    "auto" scales each slot by its piece count relative to the 8-piece
+    headline class where sigma=0.25 was tuned (PERF.md): sigma_s =
+    min(1, 2 / Ns[s]) — an 8-piece approach slot gets 0.25, a 2-piece
+    reversal slot keeps 1.0 (its duration is already O(1), and the global
+    0.25 measurably hurt it)."""
+    if vt_scale == "auto":
+        return tuple(min(1.0, 2.0 / n) for n in ns_tuple)
+    if isinstance(vt_scale, (int, float)):
+        return (float(vt_scale),) * len(ns_tuple)
+    assert len(vt_scale) == len(ns_tuple), (vt_scale, ns_tuple)
+    return tuple(float(v) for v in vt_scale)
+
+
+@dataclasses.dataclass(frozen=True)
 class FrontendConfig:
     """Kinodynamic A* front-end configuration (reference map_cfg block,
     minco_config.pb.txt:13-63, consumed in kino_astar.cpp:372-442)."""

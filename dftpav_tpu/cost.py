@@ -171,8 +171,11 @@ def eval_obstacle(coef: jnp.ndarray, dt: jnp.ndarray, t: jnp.ndarray):
     # (idx is already clipped to the last piece there)
     tau_r = jnp.where(inside, tau_in, 1.0 + ex[..., 0] / dt)
     (v_r,) = minco.eval_derivatives(ci, dt, tau_r, orders=(1,))
-    vn = jnp.maximum(jnp.linalg.norm(v_r, axis=-1, keepdims=True), 1e-12)
-    vu = v_r / vn
+    # rsqrt of the clamped SQUARED norm (sqrt(0) has an infinite
+    # derivative; a masked zero-coefficient obstacle slot would NaN the
+    # gradient through the select)
+    vn2 = jnp.maximum(jnp.sum(v_r * v_r, axis=-1, keepdims=True), 1e-24)
+    vu = v_r * jax.lax.rsqrt(vn2)
     R = jnp.stack([jnp.stack([vu[..., 0], -vu[..., 1]], -1),
                    jnp.stack([vu[..., 1], vu[..., 0]], -1)], -2)
     return pos, vel, acc, R

@@ -216,8 +216,11 @@ def eval_obstacle_b(coef, dt, t):
         msk = b1r * sel.astype(coef.dtype)[..., None, :]
         v_r = v_r + jnp.sum(msk[..., None, :]
                             * coef[:, po][:, None, None, None], axis=-3)
-    vn = jnp.maximum(jnp.sqrt(jnp.sum(v_r * v_r, axis=-2)), 1e-12)
-    vu = v_r / vn[..., None, :]
+    # rsqrt of the clamped SQUARED norm (sqrt(0) has an infinite
+    # derivative; a masked zero-coefficient obstacle slot would NaN the
+    # gradient through the piece-select)
+    vn2 = jnp.maximum(jnp.sum(v_r * v_r, axis=-2), 1e-24)
+    vu = v_r * jax.lax.rsqrt(vn2)[..., None, :]
     R = jnp.stack([jnp.stack([vu[..., 0, :], -vu[..., 1, :]], -2),
                    jnp.stack([vu[..., 1, :], vu[..., 0, :]], -2)], -3)
     return pos, vel, acc, R

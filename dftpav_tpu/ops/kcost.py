@@ -13,11 +13,14 @@ TPU kernel:
     (scaled head PVA | inner waypoints | scaled tail PVA) per dimension. The
     jerk energy becomes the quadratic form dT^-5 · rhs^T Q rhs with
     Q = M^T J M — the 6N x 6N banded system never materializes on device.
-  * The flattened sample axis R = N * K1 (264 for the bench class) sits on
-    sublanes (multiple of 8), the lane tile TB on the 128 lanes; x/y
-    components are separate [R, TB] arrays; hull-vertex (E=4) and half-plane
-    (H=4) axes are unrolled Python loops, exactly the layout proven out by
-    ops/pallas_penalty.py.
+  * The flattened sample axis is COMPACTED to the rows that carry quadrature
+    weight (r_rows(dims); 168 for the bench class vs the 264 padded N*K1
+    grid rows — interior pieces sample K+1=17 of the K1=33 padded columns,
+    so ~38% of the padded grid is dead weight the round loop used to pay
+    for). Active rows sit on sublanes (multiple of 8), the lane tile TB on
+    the 128 lanes; x/y components are separate [r, TB] arrays; hull-vertex
+    (E=4) and half-plane (H=4) axes are unrolled Python loops, exactly the
+    layout proven out by ops/pallas_penalty.py.
   * Weights are compile-time floats (StaticW): the solve kernel retraces when
     limits change, which matches how configs are deployed (one weight set per
     fleet), and removes every scalar operand from the hot loop.
@@ -32,7 +35,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import os
 from typing import NamedTuple
 
 import jax
@@ -41,10 +43,13 @@ import numpy as np
 
 from dftpav_tpu import minco
 from dftpav_tpu.basis import sample_grid
+from dftpav_tpu.config import EngineFlags, resolve_vt_scale
 from dftpav_tpu.cost import hull_arrays, smoothed_l1, virtual_to_real
 from dftpav_tpu.types import Dims
 
 DP = 16  # padded decision rows for the S=1 bench class (D = 15 at N=8)
+
+_CH_CAP = 32  # chunk-size cap (24/32 measured best on v5e — PERF.md)
 
 
 def _pad8(n: int) -> int:
@@ -52,25 +57,56 @@ def _pad8(n: int) -> int:
 
 
 def chunk_rows(R: int) -> int:
-    """Largest 8-aligned chunk size dividing the sample axis; the penalty
-    integrator scans over chunks of this many rows (see eval_cost).
-    DFTPAV_CH overrides the cap (experiment knob; the 32-row default cap
-    dates from the VMEM-spill era of the whole-program VJP)."""
-    cap = int(os.environ.get("DFTPAV_CH", "32"))
-    for ch in range(cap - cap % 8, 7, -8):
+    """Largest 8-aligned chunk size <= _CH_CAP dividing the sample axis;
+    the penalty integrator scans over chunks of this many rows (see
+    eval_cost)."""
+    for ch in range(_CH_CAP, 7, -8):
         if R % ch == 0:
             return ch
     return R
 
 
+@functools.lru_cache(maxsize=None)
+def _active_idx(n_s: int, K: int, Kdes: int) -> tuple:
+    """Flattened sample-row indices (within the n_s*K1 padded grid of one
+    segment) that carry nonzero quadrature weight. Rows outside this set
+    (padded interior columns, excluded segment endpoints) contribute
+    exactly zero cost and gradient — the kernel never materializes them."""
+    grid = sample_grid(n_s, K, Kdes)
+    omg_eff = (grid.omg * grid.inv_k[:, None] * grid.pen_mask).reshape(-1)
+    return tuple(int(i) for i in np.nonzero(omg_eff > 0)[0])
+
+
+def seg_active(dims: Dims, seg: int) -> int:
+    """Number of weight-carrying sample rows of segment `seg`."""
+    return len(_active_idx(dims.ns_tuple[seg], dims.K, dims.Kdes))
+
+
+@functools.lru_cache(maxsize=None)
+def _r_rows(ns_tuple: tuple, K: int, Kdes: int) -> int:
+    active = max(len(_active_idx(n, K, Kdes)) for n in ns_tuple)
+    # pad so an efficient chunk size divides evenly (minimize padded work
+    # plus a small per-chunk loop-overhead penalty)
+    best = None
+    for ch in (32, 24, 16, 8):
+        r = ch * (-(-active // ch))
+        score = r + 4 * (r // ch)
+        if best is None or score < best[0]:
+            best = (score, r)
+    return best[1]
+
+
+def r_rows(dims: Dims) -> int:
+    """Compacted, padded sample rows per segment slot (the kernel's sample
+    axis; replaces the round-3/4 padded N*K1 grid)."""
+    return _r_rows(dims.ns_tuple, dims.K, dims.Kdes)
+
+
 def seg_chunks(dims: Dims, seg: int) -> int:
-    """Chunks needed to cover segment `seg`'s real sample rows (short
-    segments' padded rows carry zero quadrature weight, so chunks past
-    ceil(n_s*K1 / CH) are pure zeros and are skipped)."""
-    R = dims.N * dims.K1
-    CH = chunk_rows(R)
-    r_s = dims.ns_tuple[seg] * dims.K1
-    return -(-r_s // CH)
+    """Chunks needed to cover segment `seg`'s active sample rows (rows past
+    its active count are zero-padding shared with longer slots)."""
+    CH = chunk_rows(r_rows(dims))
+    return -(-seg_active(dims, seg) // CH)
 
 
 def dp_of(dims: Dims) -> int:
@@ -144,9 +180,10 @@ class KConsts(NamedTuple):
 
     Per-SEGMENT leading axis: segment s's maps are built for its own piece
     count dims.ns_tuple[s] (the reference's adaptive piecing,
-    traj_manager.cpp:543) and zero-padded to the class's uniform sample
-    rows R = N*K1 and rhs rows C = N+5 — padded sample rows carry zero
-    quadrature weight, padded rhs rows multiply zero columns."""
+    traj_manager.cpp:543), compacted to its weight-carrying sample rows and
+    zero-padded to the class's uniform rows R = r_rows(dims) and rhs rows
+    C = N+5 — padded sample rows carry zero quadrature weight, padded rhs
+    rows multiply zero columns."""
 
     P: jnp.ndarray        # [S, 3, R, C] sample maps for orders 0..2
     Q: jnp.ndarray        # [S, Cq, C]   jerk quadratic form (padded rows 0)
@@ -169,23 +206,24 @@ class KScenario(NamedTuple):
 
 
 @functools.lru_cache(maxsize=None)
-def _host_constants(n_s: int, N: int, K: int, Kdes: int):
+def _host_constants(n_s: int, N: int, K: int, Kdes: int, r_pad: int):
     """Sample maps / jerk form / quadrature rows for ONE segment with n_s
-    pieces, zero-padded to the class's R = N*K1 rows and C = N+5 rhs rows
-    (n_s == N reproduces the uniform round-3 constants exactly)."""
+    pieces, COMPACTED to its weight-carrying sample rows (_active_idx) and
+    zero-padded to the class's r_pad rows and C = N+5 rhs rows."""
     grid = sample_grid(n_s, K, Kdes)
     K1 = grid.tau.shape[1]
-    R_s, R = n_s * K1, N * K1
+    R_s = n_s * K1
+    idx = np.asarray(_active_idx(n_s, K, Kdes), np.int64)
     C = N + 5
     Mh, Mi, Mt = minco.minco_maps(n_s)
     M = np.concatenate([Mh, Mi, Mt], axis=1)           # [6n, n+5]
-    P = np.zeros((3, R, C))
+    P = np.zeros((3, r_pad, C))
     for o in range(3):
         beta = grid.beta[o]                            # [n, K1, 6]
         big = np.zeros((R_s, 6 * n_s))
         for n in range(n_s):
             big[n * K1:(n + 1) * K1, 6 * n:6 * n + 6] = beta[n]
-        P[o, :R_s, :n_s + 5] = big @ M
+        P[o, :idx.size, :n_s + 5] = (big @ M)[idx]
     # jerk quadratic form: E = dT^-5 * rhs^T (M^T J M) rhs per dimension
     J = np.zeros((6 * n_s, 6 * n_s))
     blk = np.array([[36.0, 72.0, 120.0],
@@ -196,17 +234,18 @@ def _host_constants(n_s: int, N: int, K: int, Kdes: int):
     Q = M.T @ J @ M                                    # [n+5, n+5]
     Qp = np.zeros((max(16, _pad8(C)), C))
     Qp[:n_s + 5, :n_s + 5] = Q
-    omg_eff = np.zeros((R, 1))
-    omg_eff[:R_s] = (grid.omg * grid.inv_k[:, None]
-                     * grid.pen_mask).reshape(R_s, 1)
-    frac = np.zeros((R, 1))
-    frac[:R_s] = grid.frac.reshape(R_s, 1)
-    gridc = np.stack([omg_eff, frac])                  # [2, R, 1]
+    omg_eff = np.zeros((r_pad, 1))
+    omg_eff[:idx.size] = (grid.omg * grid.inv_k[:, None]
+                          * grid.pen_mask).reshape(R_s, 1)[idx]
+    frac = np.zeros((r_pad, 1))
+    frac[:idx.size] = grid.frac.reshape(R_s, 1)[idx]
+    gridc = np.stack([omg_eff, frac])                  # [2, r_pad, 1]
     return P, Qp, gridc
 
 
 def make_consts(dims: Dims, dtype=jnp.float32) -> KConsts:
-    per_seg = [_host_constants(n_s, dims.N, dims.K, dims.Kdes)
+    r_pad = r_rows(dims)
+    per_seg = [_host_constants(n_s, dims.N, dims.K, dims.Kdes, r_pad)
                for n_s in dims.ns_tuple]
     return KConsts(
         P=jnp.asarray(np.stack([c[0] for c in per_seg]), dtype),
@@ -215,11 +254,23 @@ def make_consts(dims: Dims, dtype=jnp.float32) -> KConsts:
 
 
 def prep_scenario(batch, dims: Dims, dtype=jnp.float32) -> KScenario:
-    """Batch-major Scenario (leading [B]) -> kernel slabs (lane minor)."""
+    """Batch-major Scenario (leading [B]) -> kernel slabs (lane minor).
+
+    Corridor slabs are gathered onto the compacted sample rows (r_rows):
+    segment s's first seg_active(s) rows are its weight-carrying samples in
+    grid order; padded rows reuse row 0's planes but carry zero quadrature
+    weight (gridc), so they never contribute."""
     B = batch.ini_state.shape[0]
     S, K1 = dims.S, dims.K1
-    R = dims.N * K1
+    R = r_rows(dims)
     f = lambda a: jnp.asarray(a, dtype)
+
+    # per-segment gather map: padded grid row index for each compacted row
+    gather = np.zeros((S, R), np.int32)
+    for s, n_s in enumerate(dims.ns_tuple):
+        idx = np.asarray(_active_idx(n_s, dims.K, dims.Kdes), np.int32)
+        gather[s, :idx.size] = idx
+    gather_j = jnp.asarray(gather)
 
     bnd = jnp.zeros((bnd_rows(dims), B), dtype)
     for s in range(S):
@@ -243,13 +294,16 @@ def prep_scenario(batch, dims: Dims, dtype=jnp.float32) -> KScenario:
         misc = misc.at[ob + O + o].set(f(batch.obs_rel_t0[:, o]))
         misc = misc.at[ob + 2 * O + o].set(f(batch.obs_mask[:, o]))
 
-    # [B, S, R, H, 2] -> [H, 2, S*R, B]
-    cn = jnp.transpose(f(batch.corr_n).reshape(B, S * R, dims.H, 2),
-                       (2, 3, 1, 0))
-    cp = jnp.transpose(f(batch.corr_p).reshape(B, S * R, dims.H, 2),
-                       (2, 3, 1, 0))
-    cm = jnp.transpose(f(batch.corr_mask).reshape(B, S * R, dims.H),
-                       (2, 1, 0))
+    # [B, S, N, K1, ...] --gather active rows--> [B, S*R, ...]
+    def compact(a):
+        a = a.reshape(B, S, dims.N * K1, *a.shape[4:])
+        idx = gather_j.reshape(1, S, R, *([1] * (a.ndim - 3)))
+        out = jnp.take_along_axis(a, idx, axis=2)
+        return out.reshape(B, S * R, *a.shape[3:])
+
+    cn = jnp.transpose(compact(f(batch.corr_n)), (2, 3, 1, 0))  # [H,2,SR,B]
+    cp = jnp.transpose(compact(f(batch.corr_p)), (2, 3, 1, 0))
+    cm = jnp.transpose(compact(f(batch.corr_mask)), (2, 1, 0))  # [H,SR,B]
     if O > 0:
         obs = f(batch.obs_coef)                         # [B, O, Po, 6, 2]
         # rows 6p+c per dim: [B,O,Po,6,2] -> [O, 2, Po*6, B]
@@ -345,13 +399,19 @@ def _dotx(A, Bm, dtype, mxu: str):
     return _dot3(A, Bm, dtype) if mxu == "x3" else _dotc(A, Bm, dtype)
 
 
-def _pre(x, sc: KScenario, sw: StaticW, dims: Dims):
+def _pre(x, sc: KScenario, sw: StaticW, dims: Dims,
+         vt_scale: tuple | None = None):
     """Decision vector -> per-segment solver inputs.
 
     Returns (rhs_x, rhs_y, dT, tt, T): tuples of S arrays ([13, TB] rhs per
     dimension with gear-junction overrides, per-piece duration, cumulative
     absolute-time offset, total segment duration). Differentiable; the
     chunked integrator's cotangents flow back through ONE jax.vjp of this.
+
+    vt_scale: per-segment-slot virtual-time sigma (config.resolve_vt_scale)
+    — the decision vector stores slot s's time coordinate as vt / sigma_s
+    (pallas_solve._prep packs it that way), rebalancing the O(1) times
+    against the meter-scale waypoints; this is where it multiplies back.
     """
     S, N = dims.S, dims.N
     dtype = x.dtype
@@ -369,13 +429,8 @@ def _pre(x, sc: KScenario, sw: StaticW, dims: Dims):
              ).astype(dtype)
     x = _dotc(ident, x, dtype)
 
-    # optional diagonal preconditioning of the virtual-time rows
-    # (DFTPAV_VT_SCALE=sigma): the decision vector mixes meter-scale
-    # waypoints with O(1) virtual times; solving in vt' = vt / sigma
-    # rebalances the gradient so early steepest-descent-like steps move
-    # both. Experiment knob; sigma=1 is the identity.
-    vt_sigma = float(os.environ.get("DFTPAV_VT_SCALE", "1.0"))
-    vt = [x[n_in + s] * vt_sigma for s in range(S)]      # S x [TB]
+    sig = vt_scale if vt_scale is not None else (1.0,) * S
+    vt = [x[n_in + s] * sig[s] for s in range(S)]        # S x [TB]
     T = [virtual_to_real(v, sw.mini_t) for v in vt]
     gp_row = lambda j, d: n_in + S + 2 * j + d
     ga = [x[n_in + S + 2 * (S - 1) + j] for j in range(S - 1)]
@@ -448,15 +503,15 @@ def _smooth_from_vals(vals, sc: KScenario, kc: KConsts, sw: StaticW,
 
 
 def _make_chunk_fn(sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
-                   seg: int, mxu: str = "f32"):
+                   seg: int, mxu: str = "f32", obs_ckpt: bool = False):
     """Penalty integrand for one CH-row chunk of one segment.
 
     Returns fn(c, rhs_x [13, TB], rhs_y, dT [TB], tt [TB]) -> cost [TB]
     (unweighted by seg_mask). Every per-row constant is dynamic-sliced per
     chunk so the caller can loop the chunk index with lax control flow.
     """
-    S, N, K1, H, O, Po = dims.S, dims.N, dims.K1, dims.H, dims.O, dims.Po
-    R = N * K1
+    S, H, O, Po = dims.S, dims.H, dims.O, dims.Po
+    R = r_rows(dims)
     CH = chunk_rows(R)
     omg_eff = kc.gridc[seg, 0]                           # [R, 1]
     frac = kc.gridc[seg, 1]
@@ -618,8 +673,12 @@ def _make_chunk_fn(sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
                 ss = (idxf == pp).astype(dtype)
                 return jnp.where(inside, ss, 1.0 if pp == Po - 1 else 0.0)
             v_r_x, v_r_y = horner(tau_r, sel_r, 1)
-            vrn = jnp.sqrt(v_r_x * v_r_x + v_r_y * v_r_y)
-            inv_vrn = 1.0 / jnp.maximum(vrn, 1e-12)
+            # rsqrt of the CLAMPED squared norm: sqrt(x) at x == 0 has an
+            # infinite derivative, and a masked zero-coefficient obstacle
+            # slot then NaN-poisons the whole gradient through the
+            # where-select (0 * inf)
+            vrn2 = v_r_x * v_r_x + v_r_y * v_r_y
+            inv_vrn = jax.lax.rsqrt(jnp.maximum(vrn2, 1e-24))
             uo = v_r_x * inv_vrn
             vo = v_r_y * inv_vrn
 
@@ -661,9 +720,8 @@ def _make_chunk_fn(sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
         # no-remat default: the per-chunk obstacle block fits VMEM without
         # rematerialization (the 165-184 MB spills were the MONOLITHIC
         # whole-program VJP), and skipping the recompute measures +3%
-        # throughput with a faster compile; DFTPAV_OBS_CKPT=1 restores it
-        obs_wrap = (_ckpt if os.environ.get("DFTPAV_OBS_CKPT", "0") == "1"
-                    else (lambda f: f))
+        # throughput with a faster compile; EngineFlags.obs_ckpt restores it
+        obs_wrap = _ckpt if obs_ckpt else (lambda f: f)
         for o in range(O):
             cost_dyn = cost_dyn + obs_wrap(
                 functools.partial(obstacle_cost, o))(
@@ -676,7 +734,7 @@ def _make_chunk_fn(sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
 
 
 def eval_cost(x, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
-              mxu: str = "f32"):
+              flags: EngineFlags | None = None):
     """Scaled objective per lane: x [dp_of(dims), TB] -> f [TB].
 
     Pure jnp on values — identical trace inside the Pallas kernel and in
@@ -688,12 +746,15 @@ def eval_cost(x, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
     The penalty integrator runs as a counter-carry lax.scan over CH-row
     chunks (see _make_chunk_fn / eval_fg).
     """
+    flags = flags or EngineFlags()
+    mxu = flags.mxu
     S = dims.S
-    vals = _pre(x, sc, sw, dims)
+    vals = _pre(x, sc, sw, dims,
+                resolve_vt_scale(flags.vt_scale, dims.ns_tuple))
     rhs_x, rhs_y, dTs, tts, _T = vals
     f = _smooth_from_vals(vals, sc, kc, sw, dims, mxu)
     for seg in range(S):
-        fn = _make_chunk_fn(sc, kc, sw, dims, seg, mxu)
+        fn = _make_chunk_fn(sc, kc, sw, dims, seg, mxu, flags.obs_ckpt)
         segw = sc.misc[S + seg] if S > 1 else 1.0
 
         def body(carry, _):
@@ -709,7 +770,7 @@ def eval_cost(x, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
 
 
 def eval_fg(x, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
-            unroll_chunks: bool = False, mxu: str = "f32"):
+            unroll_chunks: bool = False, flags: EngineFlags | None = None):
     """(f [TB], g [dp, TB]) with the gradient assembled chunk-by-chunk.
 
     jax.vjp(eval_cost) would stack every chunk's residuals through the scan
@@ -720,10 +781,13 @@ def eval_fg(x, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
     jax.grad of eval_cost to float-rounding (asserted in
     tests/test_megakernel.py).
     """
+    flags = flags or EngineFlags()
+    mxu = flags.mxu
     S = dims.S
     dtype = x.dtype
+    vt_scale = resolve_vt_scale(flags.vt_scale, dims.ns_tuple)
 
-    vals, vjp_pre = jax.vjp(lambda xv: _pre(xv, sc, sw, dims), x)
+    vals, vjp_pre = jax.vjp(lambda xv: _pre(xv, sc, sw, dims, vt_scale), x)
     rhs_x, rhs_y, dTs, tts, _T = vals
 
     fs, vjp_s = jax.vjp(
@@ -737,7 +801,7 @@ def eval_fg(x, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
     crx, cry, cdt, ctt = (list(cots[0]), list(cots[1]), list(cots[2]),
                           list(cots[3]))
     for seg in range(S):
-        fn = _make_chunk_fn(sc, kc, sw, dims, seg, mxu)
+        fn = _make_chunk_fn(sc, kc, sw, dims, seg, mxu, flags.obs_ckpt)
         segw = sc.misc[S + seg] if S > 1 else ones
 
         def body(c, carry):

@@ -36,7 +36,6 @@ and the Mosaic lowering constraints that shaped this file are in PERF.md.
 from __future__ import annotations
 
 import functools
-import os
 from typing import NamedTuple
 
 import jax
@@ -45,7 +44,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dftpav_tpu.config import LBFGSParams, PlannerConfig
+from dftpav_tpu.config import (EngineFlags, LBFGSParams, PlannerConfig,
+                               resolve_vt_scale)
 from dftpav_tpu.lbfgs import Status
 from dftpav_tpu.ops import bcost, kcost
 from dftpav_tpu.ops.kcost import (DP, KConsts, KScenario, StaticW, bnd_rows,
@@ -83,15 +83,14 @@ class _Carry(NamedTuple):
     status: jnp.ndarray   # [TB] f32 (Status codes)
 
 
-# Solver-frame MXU mode, set per trace by _solve_rounds (module-level is
-# safe: traces are single-threaded and the value is read only at trace
-# time). "f32": every frame matmul an fp32 contract (~6 bf16 MXU passes).
+# Solver-frame MXU modes (the `frame` argument threaded through _dot /
+# _clean_row / _clean_mat; EngineFlags.frame selects it per solve).
+# "f32": every frame matmul an fp32 contract (~6 bf16 MXU passes).
 # "fast": the relayout/reduction matmuls that exist purely for Mosaic
 # layout reasons run as few-pass bf16 splits — 2-pass dots (~2^-17
 # relative, far below every solver tolerance), EXACT 3-split identity
 # cleans (8+8+8 mantissa bits covers f32's 24), and exact single-pass 0/1
-# mask expansion.
-_FRAME = "f32"
+# mask expansion. "bf16": single-pass everywhere (exploration only).
 
 
 def _bf16_split(v, parts: int):
@@ -107,7 +106,7 @@ def _bf16_split(v, parts: int):
     return out
 
 
-def _dot(a, b):
+def _dot(a, b, frame="f32"):
     """Decision-space dot product, [DP, TB] x [DP, TB] -> [TB].
 
     Expressed as a ones-row matmul instead of jnp.sum(a*b, axis=0): inside
@@ -122,7 +121,7 @@ def _dot(a, b):
     """
     prod = a * b
     ones = jnp.ones((1, prod.shape[0]), prod.dtype)
-    if _FRAME == "fast":
+    if frame == "fast":
         hi, lo = _bf16_split(prod, 2)
         dflt = jax.lax.Precision.DEFAULT
         ones_b = ones.astype(jnp.bfloat16)
@@ -130,14 +129,14 @@ def _dot(a, b):
             ones_b, p, (((1,), (0,)), ((), ())),
             preferred_element_type=prod.dtype, precision=dflt)
         return dot(hi) + dot(lo)
-    prec = (jax.lax.Precision.DEFAULT if _FRAME == "bf16"
+    prec = (jax.lax.Precision.DEFAULT if frame == "bf16"
             else jax.lax.Precision.HIGHEST)
     return jax.lax.dot_general(ones, prod, (((1,), (0,)), ((), ())),
                                preferred_element_type=prod.dtype,
                                precision=prec)
 
 
-def _clean_row(v):
+def _clean_row(v, frame="f32"):
     """Relayout a per-lane [TB] (or [1, TB]) float vector to a standard
     [1, TB] via a 1x1 matmul (Mosaic relayouts matmul operands freely; see
     _dot). Identity numerically: 1.0 * v with f32 accumulation.
@@ -148,9 +147,9 @@ def _clean_row(v):
     even on plain elementwise adds."""
     v2 = v if v.ndim == 2 else v[None]
     one = jnp.ones((1, 1), v2.dtype)
-    if _FRAME == "fast":
+    if frame == "fast":
         return _ident_apply(one, v2)
-    prec = (jax.lax.Precision.DEFAULT if _FRAME == "bf16"
+    prec = (jax.lax.Precision.DEFAULT if frame == "bf16"
             else jax.lax.Precision.HIGHEST)
     return jax.lax.dot_general(one, v2, (((1,), (0,)), ((), ())),
                                preferred_element_type=v2.dtype,
@@ -173,16 +172,16 @@ def _ident_apply(ident, v):
     return acc
 
 
-def _clean_mat(v):
+def _clean_mat(v, frame="f32"):
     """Relayout a [DP, TB] value to a standard layout (identity matmul)."""
     n = v.shape[0]
     ident = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
              == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)).astype(v.dtype)
-    if _FRAME == "fast":
+    if frame == "fast":
         return _ident_apply(ident, v)
     # "bf16": single-pass clean TRUNCATES the carry to bf16 each round —
     # kept only as an experiment knob (quality must be re-gated)
-    prec = (jax.lax.Precision.DEFAULT if _FRAME == "bf16"
+    prec = (jax.lax.Precision.DEFAULT if frame == "bf16"
             else jax.lax.Precision.HIGHEST)
     return jax.lax.dot_general(ident, v, (((1,), (0,)), ((), ())),
                                preferred_element_type=v.dtype,
@@ -207,7 +206,7 @@ def _selrow(mask, a, b):
     return jnp.where(mf > 0.5, a, b)
 
 
-def _two_loop_t(g, lm_s, lm_y, lm_ys, bound, ys, yy):
+def _two_loop_t(g, lm_s, lm_y, lm_ys, bound, ys, yy, dot=_dot):
     """blbfgs._two_loop over tuple-form history (identical math; tuple
     elements are full arrays, so every reduction sees a zero-offset
     layout Mosaic accepts)."""
@@ -216,28 +215,101 @@ def _two_loop_t(g, lm_s, lm_y, lm_ys, bound, ys, yy):
     alphas = []
     for i in range(m):
         live = i < bound                                   # [TB]
-        a = jnp.where(live, _dot(lm_s[i], d) / lm_ys[i], 0.0)
+        a = jnp.where(live, dot(lm_s[i], d) / lm_ys[i], 0.0)
         d = d - a * lm_y[i]
         alphas.append(a)
     d = d * (ys / yy)
     for i in range(m - 1, -1, -1):
-        b = jnp.where(i < bound, _dot(lm_y[i], d) / lm_ys[i], 0.0)
+        b = jnp.where(i < bound, dot(lm_y[i], d) / lm_ys[i], 0.0)
         d = d + (alphas[i] - b) * lm_s[i]
     return d
 
 
+def slab_rows(dims: Dims, p: LBFGSParams) -> int:
+    """Rows of the packed solver-state slab (see _carry_to_slab; padded to
+    a sublane multiple of 8)."""
+    m, past = p.mem_size, max(p.past, 1)
+    dp = dp_of(dims)
+    raw = (3 + 2 * m) * dp + m + past + 14
+    return ((raw + 7) // 8) * 8
+
+
+def _carry_to_slab(c: _Carry) -> jnp.ndarray:
+    """Pack the FULL round-loop state into one [slab_rows, TB] array.
+
+    The multi-phase lane compaction (EngineFlags.phases) hands this slab
+    across kernel launches so a continued lane resumes with exactly the
+    state it would have had mid-run: iterates, gradient, direction,
+    line-search bracket, the whole L-BFGS history, and the past-f window —
+    making the phased solve bit-identical to the uninterrupted one."""
+    mats = (c.xp, c.gp, c.d) + c.lm_s + c.lm_y
+    rows = (c.fp, c.stp, c.finit, c.dgtest, c.dstest, c.mu, c.nu,
+            c.brackt, c.touched, c.lscnt, c.bound, c.k, c.n_evals,
+            c.status) + c.lm_ys
+    slab = jnp.concatenate(
+        list(mats) + [r if r.ndim == 2 else r[None] for r in rows]
+        + [c.pf if c.pf.ndim == 2 else c.pf[None]])
+    pad = -slab.shape[0] % 8                 # sublane-align (see slab_rows)
+    if pad:
+        slab = jnp.concatenate([slab, jnp.broadcast_to(c.xp[:1] * 0.0,
+                                                       (pad,) + c.fp.shape[-1:])])
+    return slab
+
+
+def _slab_to_carry(slab, dims: Dims, p: LBFGSParams) -> _Carry:
+    """Inverse of _carry_to_slab (row slices; Mosaic relayouts them freely
+    through the loop-entry cleans)."""
+    m, past = p.mem_size, max(p.past, 1)
+    dp = dp_of(dims)
+    o = 0
+
+    def mat():
+        nonlocal o
+        v = slab[o:o + dp]
+        o += dp
+        return v
+
+    def row():
+        nonlocal o
+        v = slab[o:o + 1]
+        o += 1
+        return v
+
+    xp, gp, d = mat(), mat(), mat()
+    lm_s = tuple(mat() for _ in range(m))
+    lm_y = tuple(mat() for _ in range(m))
+    (fp, stp, finit, dgtest, dstest, mu, nu, brackt, touched, lscnt,
+     bound, k, n_evals, status) = (row() for _ in range(14))
+    lm_ys = tuple(row() for _ in range(m))
+    pf = slab[o:o + past]
+    return _Carry(xp=xp, fp=fp, gp=gp, d=d, stp=stp, finit=finit,
+                  dgtest=dgtest, dstest=dstest, mu=mu, nu=nu,
+                  brackt=brackt, touched=touched, lscnt=lscnt,
+                  lm_s=lm_s, lm_y=lm_y, lm_ys=lm_ys, bound=bound, k=k,
+                  pf=pf, n_evals=n_evals, status=status)
+
+
 def _solve_rounds(x0, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
                   p: LBFGSParams, max_iter: int,
-                  unroll_chunks: bool = False, mxu: str = "f32",
-                  clean_hist: bool = True, frame: str = "f32") -> _Carry:
+                  unroll_chunks: bool = False,
+                  flags: EngineFlags | None = None,
+                  resume=None) -> _Carry:
     """The fused round loop over values (runs inside the kernel; also
-    testable as plain XLA). mxu="x3" runs the objective's sample-map
+    testable as plain XLA). flags.mxu="x3" runs the objective's sample-map
     matmuls as 3-pass bf16 splits (kcost._dot3) while the solver frame
     (canonicalization matmuls, dot products, two-loop) stays on exact
     fp32 contracts — the in-round mixed-precision line search."""
-    global _FRAME
-    _FRAME = frame          # trace-time switch for _dot/_clean_*/_selrow
-    adaptive_step = os.environ.get("DFTPAV_ADAPTIVE_STEP", "0") == "1"
+    flags = flags or EngineFlags()
+    frame = flags.frame
+    # bind the frame mode into the layout helpers for this trace (the
+    # module-level names are shadowed locally; globals() reaches the
+    # originals since the local names are assigned in this scope)
+    g_ = globals()
+    _dot = functools.partial(g_["_dot"], frame=frame)
+    _clean_row = functools.partial(g_["_clean_row"], frame=frame)
+    _clean_mat = functools.partial(g_["_clean_mat"], frame=frame)
+    adaptive_step = flags.adaptive_step
+    clean_hist = flags.clean_hist
     dtype = x0.dtype
     DPx, TB = x0.shape
     m, past = p.mem_size, max(p.past, 1)
@@ -245,31 +317,36 @@ def _solve_rounds(x0, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
 
     def fg(x):
         return kcost.eval_fg(x, sc, kc, sw, dims,
-                             unroll_chunks=unroll_chunks, mxu=mxu)
+                             unroll_chunks=unroll_chunks, flags=flags)
 
-    if os.environ.get("DFTPAV_T_PRESCALE", "0") == "1":
+    if flags.t_prescale and resume is None:
         # initial time-scaling line search: evaluate the initial point at
         # a few total-duration multiples and start each lane from its
         # best. The initial T heuristic (e.g. dist/3) is the slowest-
         # converging direction when it is far off; 3 extra objective
         # evaluations (~3 rounds) can replace dozens of L-BFGS rounds
-        # spent stretching time. Env-gated experiment.
+        # spent stretching time. Experiment knob (EngineFlags.t_prescale).
         from dftpav_tpu.cost import real_to_virtual, virtual_to_real
 
         S, N = dims.S, dims.N
+        sig = resolve_vt_scale(flags.vt_scale, dims.ns_tuple)
         n_in = 2 * S * (N - 1)
         # vt-row selector built from iota INSIDE the trace (a captured
         # host constant would trip pallas_call's closed-constant check)
         r_idx = jax.lax.broadcasted_iota(jnp.int32, (S, DPx), 1)
         s_idx = jax.lax.broadcasted_iota(jnp.int32, (S, DPx), 0)
         sel = (r_idx == n_in + s_idx).astype(dtype)
+        # packed row s stores vt / sigma_s (see kcost._pre): scale back to
+        # true vt before the time mapping, re-divide on write-back
+        sig_row = sum(float(sig[s]) * (s_idx[:, :1] == s).astype(dtype)
+                      for s in range(S))                 # [S, 1]
         dot = lambda A, B: jax.lax.dot_general(
             A, B, (((1,), (0,)), ((), ())), preferred_element_type=dtype)
 
         def scaled(c):
-            V = dot(sel, x0)                           # [S, TB] vt rows
-            T = virtual_to_real(V, sw.mini_t)
-            V2 = real_to_virtual(T * c, sw.mini_t)
+            V = dot(sel, x0)                           # [S, TB] packed rows
+            T = virtual_to_real(V * sig_row, sw.mini_t)
+            V2 = real_to_virtual(T * c, sw.mini_t) / sig_row
             return x0 + dot(sel.T, V2 - V)
 
         xbest = x0
@@ -284,39 +361,50 @@ def _solve_rounds(x0, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
             gbest = _selrow(better, gc, gbest)
             fbest = jnp.where(better, fc, fbest)
         x0, f0, g0 = xbest, fbest[0], gbest
-    else:
+    elif resume is None:
         f0, g0 = fg(x0)
-    f0 = _clean_row(f0)                                  # [1, TB]
-    d0 = -g0
-    gnorm = jnp.max(jnp.abs(g0), axis=0, keepdims=True)
-    xnorm = jnp.max(jnp.abs(x0), axis=0, keepdims=True)
-    already = gnorm / jnp.maximum(1.0, xnorm) < p.g_epsilon
-    dginit0 = _dot(g0, d0)
-    stp0 = 1.0 / jnp.maximum(jnp.sqrt(_dot(d0, d0)), 1e-30)
+    if resume is not None:
+        # continue from a packed solver-state slab (multi-phase lane
+        # compaction): lanes frozen at the previous phase's budget
+        # (MAXITER) flip back to RUNNING and proceed bit-identically to an
+        # uninterrupted run; every other status idles through the loop
+        init = _slab_to_carry(resume, dims, p)
+        init = init._replace(status=jnp.where(
+            init.status == Status.MAXITER,
+            jnp.asarray(float(Status.RUNNING), dtype), init.status))
+    else:
+        f0 = _clean_row(f0)                              # [1, TB]
+        d0 = -g0
+        gnorm = jnp.max(jnp.abs(g0), axis=0, keepdims=True)
+        xnorm = jnp.max(jnp.abs(x0), axis=0, keepdims=True)
+        already = gnorm / jnp.maximum(1.0, xnorm) < p.g_epsilon
+        dginit0 = _dot(g0, d0)
+        stp0 = 1.0 / jnp.maximum(jnp.sqrt(_dot(d0, d0)), 1e-30)
 
-    # init members derive from x0 so their varying-manual-axes type under
-    # shard_map matches the (data-derived) body outputs — fresh
-    # jnp.zeros(...) would be unvarying and fail the while_loop carry check
-    zrow = x0[:1] * 0.0                                  # varying [1, TB]
-    zmat = x0 * 0.0
-    init = _Carry(
-        xp=x0, fp=f0, gp=g0, d=d0, stp=stp0,
-        finit=f0, dgtest=p.f_dec_coeff * dginit0,
-        dstest=p.s_curv_coeff * dginit0,
-        mu=zrow, nu=zrow + p.max_step,
-        brackt=zrow, touched=zrow,
-        lscnt=zrow,
-        lm_s=tuple(zmat for _ in range(m)),
-        lm_y=tuple(zmat for _ in range(m)),
-        lm_ys=tuple(zrow + 1.0 for _ in range(m)),
-        bound=zrow, k=zrow + 1.0,
-        pf=jnp.concatenate(
-            [f0, jnp.broadcast_to(zrow, (past - 1, TB))])
-        if past > 1 else f0,
-        n_evals=zrow + 1.0,
-        status=jnp.where(already, Status.CONVERGENCE,
-                         Status.RUNNING).astype(dtype) + zrow,
-    )
+        # init members derive from x0 so their varying-manual-axes type
+        # under shard_map matches the (data-derived) body outputs — fresh
+        # jnp.zeros(...) would be unvarying and fail the while_loop carry
+        # check
+        zrow = x0[:1] * 0.0                              # varying [1, TB]
+        zmat = x0 * 0.0
+        init = _Carry(
+            xp=x0, fp=f0, gp=g0, d=d0, stp=stp0,
+            finit=f0, dgtest=p.f_dec_coeff * dginit0,
+            dstest=p.s_curv_coeff * dginit0,
+            mu=zrow, nu=zrow + p.max_step,
+            brackt=zrow, touched=zrow,
+            lscnt=zrow,
+            lm_s=tuple(zmat for _ in range(m)),
+            lm_y=tuple(zmat for _ in range(m)),
+            lm_ys=tuple(zrow + 1.0 for _ in range(m)),
+            bound=zrow, k=zrow + 1.0,
+            pf=jnp.concatenate(
+                [f0, jnp.broadcast_to(zrow, (past - 1, TB))])
+            if past > 1 else f0,
+            n_evals=zrow + 1.0,
+            status=jnp.where(already, Status.CONVERGENCE,
+                             Status.RUNNING).astype(dtype) + zrow,
+        )
 
     onehot_rows = jax.lax.broadcasted_iota(jnp.int32, (past, TB), 0)
     onehot_rows = onehot_rows.astype(dtype)
@@ -407,9 +495,14 @@ def _solve_rounds(x0, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
             pf = jnp.where(onehot & accept, newpf, c.pf)
         else:
             pf = c.pf
-        status = jnp.where(accept & (status == Status.RUNNING)
-                           & (c.k >= max_iter), Status.MAXITER, status)
-        k = jnp.where(accept & (status == Status.RUNNING), c.k + 1, c.k)
+        # lanes still running after the convergence/stop tests complete
+        # their FULL state transition (history, direction, next-search
+        # setup, k) and only THEN may be marked MAXITER — so a lane frozen
+        # at a phase budget carries exactly the state it would have had
+        # mid-run, and the multi-phase resume (EngineFlags.phases) is
+        # bit-identical to the uninterrupted solve
+        running = accept & (status == Status.RUNNING)
+        k = jnp.where(running, c.k + 1, c.k)
 
         # --- cautious history update + new direction ---
         s = x_try - c.xp
@@ -417,7 +510,7 @@ def _solve_rounds(x0, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
         ys = _dot(y, s)
         yy = _dot(y, y)
         cau = _dot(s, s) * jnp.sqrt(_dot(c.gp, c.gp)) * p.cautious_factor
-        do_up = accept & (status == Status.RUNNING) & (ys > cau)
+        do_up = running & (ys > cau)
         lm_s = tuple(_selrow(do_up, new, old) for new, old
                      in zip((s,) + c.lm_s[:-1], c.lm_s))
         lm_y = tuple(_selrow(do_up, new, old) for new, old
@@ -426,15 +519,16 @@ def _solve_rounds(x0, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
                       in zip((ys,) + c.lm_ys[:-1], c.lm_ys))
         bound = jnp.where(do_up, jnp.minimum(c.bound + 1, m), c.bound)
         d_new = _two_loop_t(g_try, lm_s, lm_y, lm_ys, bound, ys,
-                            jnp.maximum(yy, 1e-30))
+                            jnp.maximum(yy, 1e-30), dot=_dot)
         d_next = _selrow(do_up, d_new, -g_try)
         d = _selrow(accept, d_next, c.d)
 
         # --- next line-search setup for accepted lanes ---
         dginit = _dot(g_try, d_next)
-        status = jnp.where(accept & (status == Status.RUNNING)
-                           & (dginit > 0.0),
+        status = jnp.where(running & (dginit > 0.0),
                            Status.ERR_INCREASEGRADIENT, status)
+        status = jnp.where(running & (status == Status.RUNNING)
+                           & (k > max_iter), Status.MAXITER, status)
         finit = jnp.where(accept, f_try, c.finit)
         dgtest = jnp.where(accept, p.f_dec_coeff * dginit, c.dgtest)
         dstest = jnp.where(accept, p.s_curv_coeff * dginit, c.dstest)
@@ -447,12 +541,11 @@ def _solve_rounds(x0, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
             # warm-start the next line search from the lane's ACCEPTED
             # step instead of the constant 1.0 (lbfgs.hpp behavior): lanes
             # whose good step is persistently < 1 skip the reject/bisect
-            # trials. Doubled and capped at 1 so well-scaled lanes keep
+            # trials. Multiplied and capped at 1 so well-scaled lanes keep
             # the unit Newton step; same stationary points, different
             # trial sequence (off by default for lbfgs.hpp path parity).
-            lo = float(os.environ.get("DFTPAV_ADAPTIVE_STEP_LO", "0.5"))
-            mult = float(os.environ.get("DFTPAV_ADAPTIVE_STEP_MULT", "2.0"))
-            stp_init = jnp.clip(c.stp * mult, lo, 1.0)
+            stp_init = jnp.clip(c.stp * flags.adaptive_step_mult,
+                                flags.adaptive_step_lo, 1.0)
         else:
             stp_init = jnp.ones_like(c.stp)
         stp = jnp.where(accept, stp_init, jnp.where(cont, stp_n, c.stp))
@@ -472,25 +565,38 @@ def _solve_rounds(x0, sc: KScenario, kc: KConsts, sw: StaticW, dims: Dims,
 
 
 def _kernel(x0_ref, bnd_ref, misc_ref, cn_ref, cp_ref, cm_ref, obsc_ref,
-            P_ref, Q_ref, gridc_ref, xout_ref, stats_ref,
-            *, dims, sw, p, max_iter, mxu="f32", clean_hist=True,
-            frame="f32"):
+            P_ref, Q_ref, gridc_ref, *refs,
+            dims, sw, p, max_iter, flags, emit_carry=False, resume=False):
+    """Whole-solve kernel. Positional refs after the shared inputs:
+    [slab_in (resume)] xout stats [slab_out (emit_carry)]. The carry slab
+    (see _carry_to_slab) lets the multi-phase lane compaction continue a
+    solve bit-identically in a later kernel launch."""
     sc = KScenario(bnd=bnd_ref[:], misc=misc_ref[:], corr_n=cn_ref[:],
                    corr_p=cp_ref[:], corr_m=cm_ref[:], obs_c=obsc_ref[:])
     kc = KConsts(P=P_ref[:], Q=Q_ref[:], gridc=gridc_ref[:])
+    o = 0
+    slab_in = None
+    if resume:
+        slab_in = refs[0][:]
+        o = 1
+    xout_ref, stats_ref = refs[o], refs[o + 1]
     out = _solve_rounds(x0_ref[:], sc, kc, sw, dims, p, max_iter,
-                        unroll_chunks=True, mxu=mxu, clean_hist=clean_hist,
-                        frame=frame)
+                        unroll_chunks=True, flags=flags, resume=slab_in)
     xout_ref[:] = out.xp
     f32 = out.xp.dtype
     TB = out.fp.shape[-1]
     zero = jnp.zeros((1, TB), f32)
+    # reported k is clamped to the budget (capped lanes run their full
+    # state transition before MAXITER marks, leaving k = budget + 1)
     stats_ref[:] = jnp.concatenate([
-        out.fp, out.status, out.k, out.n_evals, zero, zero, zero, zero])
+        out.fp, out.status, jnp.minimum(out.k, float(max_iter)),
+        out.n_evals, zero, zero, zero, zero])
+    if emit_carry:
+        refs[o + 2][:] = _carry_to_slab(out)
 
 
 def _prep(batch: Scenario, w: Weights, dims: Dims, cfg: PlannerConfig,
-          dtype):
+          dtype, vt_scale: tuple | None = None):
     """Shared setup: clamp boundaries, pack x0 into padded [DP, B] rows,
     build kernel-layout slabs + constants."""
     from dftpav_tpu import cost as cost_mod
@@ -500,19 +606,20 @@ def _prep(batch: Scenario, w: Weights, dims: Dims, cfg: PlannerConfig,
     x0 = jax.vmap(lambda s: cost_mod.initial_guess(s, w, dims))(batch)
     D = x0.shape[1]
     B = x0.shape[0]
-    vt_sigma = float(os.environ.get("DFTPAV_VT_SCALE", "1.0"))
-    if vt_sigma != 1.0:
-        # kcost._pre multiplies the vt rows back by sigma (see its
+    if vt_scale is not None and any(v != 1.0 for v in vt_scale):
+        # kcost._pre multiplies the vt rows back by sigma_s (see its
         # docstring note): pack the preconditioned coordinates here
         n_in = 2 * dims.S * (dims.N - 1)
-        x0 = x0.at[:, n_in:n_in + dims.S].divide(vt_sigma)
+        sig = jnp.asarray(vt_scale, x0.dtype)
+        x0 = x0.at[:, n_in:n_in + dims.S].divide(sig[None])
     x0p = jnp.zeros((dp_of(dims), B), dtype).at[:D].set(x0.T.astype(dtype))
     sc = kcost.prep_scenario(batch, dims, dtype)
     kc = kcost.make_consts(dims, dtype)
     return batch, x0p, sc, kc, D
 
 
-def _finalize(batch, out_x, out_f, out_status, out_k, w, dims, cfg, D):
+def _finalize(batch, out_x, out_f, out_status, out_k, w, dims, cfg, D,
+              vt_scale: tuple | None = None):
     """Final trajectory coefficients + SolveResult from optimized variables
     (once per solve, outside the hot loop — same path as
     solve_batch_bminor)."""
@@ -520,10 +627,10 @@ def _finalize(batch, out_x, out_f, out_status, out_k, w, dims, cfg, D):
     from dftpav_tpu import minco
 
     x_fin = out_x[:D]
-    vt_sigma = float(os.environ.get("DFTPAV_VT_SCALE", "1.0"))
-    if vt_sigma != 1.0:
+    if vt_scale is not None and any(v != 1.0 for v in vt_scale):
         n_in = 2 * dims.S * (dims.N - 1)
-        x_fin = x_fin.at[n_in:n_in + dims.S].multiply(vt_sigma)
+        sig = jnp.asarray(vt_scale, x_fin.dtype)
+        x_fin = x_fin.at[n_in:n_in + dims.S].multiply(sig[:, None])
     u = bcost.unpack_b(x_fin, dims)
     T = cost_mod.virtual_to_real(u.vt, w.mini_t)
     dT = T / dims.N
@@ -561,7 +668,7 @@ def _finalize(batch, out_x, out_f, out_status, out_k, w, dims, cfg, D):
 def solve_batch_rounds(batch: Scenario, w: Weights, dims: Dims,
                        cfg: PlannerConfig,
                        max_iterations: int | None = None,
-                       mxu: str = "f32", frame: str = "f32") -> SolveResult:
+                       flags: EngineFlags | None = None) -> SolveResult:
     """The asynchronous-lane round loop as a PLAIN XLA program (no Pallas).
 
     Two structural wins over solver.solve_batch_bminor, independent of any
@@ -576,24 +683,26 @@ def solve_batch_rounds(batch: Scenario, w: Weights, dims: Dims,
     """
     assert not getattr(cfg.opt, "ref_trajtime_compat", False) or dims.S == 1, \
         "the reference trajtimes quirk is vmap-engine-only"
+    flags = flags or EngineFlags()
+    vt_scale = resolve_vt_scale(flags.vt_scale, dims.ns_tuple)
     dtype = batch.init_T.dtype
     p = cfg.opt.lbfgs
     max_iter = p.max_iterations if max_iterations is None else max_iterations
     sw = StaticW.build(w, cfg, concrete=False)
     with jax.default_matmul_precision("float32"):
-        batch, x0p, sc, kc, D = _prep(batch, w, dims, cfg, dtype)
-        out = _solve_rounds(x0p, sc, kc, sw, dims, p, max_iter, mxu=mxu,
-                            frame=frame)
+        batch, x0p, sc, kc, D = _prep(batch, w, dims, cfg, dtype, vt_scale)
+        out = _solve_rounds(x0p, sc, kc, sw, dims, p, max_iter, flags=flags)
     return _finalize(batch, out.xp, out.fp[0],
                      out.status[0].astype(jnp.int32),
-                     out.k[0].astype(jnp.int32), w, dims, cfg, D)
+                     out.k[0].astype(jnp.int32), w, dims, cfg, D, vt_scale)
 
 
 def solve_batch_fused(batch: Scenario, w: Weights, dims: Dims,
                       cfg: PlannerConfig, max_iterations: int | None = None,
                       tb: int = 128, interpret: bool = False,
                       x0_override=None, return_x: bool = False,
-                      mxu_precision: str = "float32"):
+                      mxu_precision: str | None = None,
+                      flags: EngineFlags | None = None):
     """Drop-in equivalent of solver.solve_batch_bminor on the fused kernel.
 
     batch: Scenario with leading [B] (B % tb == 0). Weights must be
@@ -602,42 +711,37 @@ def solve_batch_fused(batch: Scenario, w: Weights, dims: Dims,
     matrix (used by the warm-replan stream and the mixed-precision
     two-phase solve); return_x adds the final packed decision matrix to
     the return.
-    mxu_precision:
+    flags.mxu:
       "x3" (mixed, the headline): objective sample-map matmuls run as
           3-pass bf16 splits (~2x the fp32-contract round rate, error
           ~2^-17), the solver frame stays on exact fp32 contracts;
-      "float32": every matmul an fp32 contract (~6 bf16 MXU passes) —
-          the conservative round-3 default;
-      "bfloat16": single-pass bf16 everywhere — fastest, but degrades the
+      "f32": every matmul an fp32 contract (~6 bf16 MXU passes) —
+          the conservative default;
+      "bf16": single-pass bf16 everywhere — fastest, but degrades the
           line search (measured: cost p50 5750 vs 4361, premature STOP at
           21 iters); kept for the exploration phase of
           solve_batch_fused_mixed.
+    mxu_precision: legacy alias for flags.mxu ("float32"/"x3"/"bfloat16").
     """
-    clean_hist = os.environ.get("DFTPAV_CLEAN_HIST", "1") != "0"
-    # solver-frame matmul mode: "fast" runs the layout-forced relayout/
-    # reduction matmuls as few-pass bf16 splits (exact cleans, 2^-17
-    # dots). Measured SLOWER than the fp32 contracts on the v5e (3,947 vs
-    # 4,134 solves/s at B=1024 — the split's per-element converts cost
-    # more than the contract passes save), so "f32" stays the default;
-    # the path is kept for future hardware where the trade flips.
-    frame = os.environ.get("DFTPAV_FRAME", "f32")
-    if mxu_precision in ("float32", "x3"):
-        mxu = "x3" if mxu_precision == "x3" else "f32"
+    if flags is None:
+        mxu = {"float32": "f32", "x3": "x3", "bfloat16": "bf16",
+               None: "f32"}[mxu_precision]
+        flags = EngineFlags(mxu=mxu)
+    if flags.mxu != "bf16":
         with jax.default_matmul_precision("float32"):
             return _solve_batch_fused(batch, w, dims, cfg, max_iterations,
                                       tb, interpret, x0_override, return_x,
-                                      mxu=mxu, clean_hist=clean_hist,
-                                      frame=frame)
+                                      flags=flags)
     return _solve_batch_fused(batch, w, dims, cfg, max_iterations, tb,
-                              interpret, x0_override, return_x,
-                              clean_hist=clean_hist, frame=frame)
+                              interpret, x0_override, return_x, flags=flags)
 
 
 def solve_batch_fused_mixed(batch: Scenario, w: Weights, dims: Dims,
                             cfg: PlannerConfig,
                             max_iterations: int | None = None,
                             tb: int = 128,
-                            phase1_iterations: int | None = None
+                            phase1_iterations: int | None = None,
+                            flags: EngineFlags | None = None
                             ) -> SolveResult:
     """Two-phase fused solve: bf16 exploration + f32 refinement.
 
@@ -647,26 +751,32 @@ def solve_batch_fused_mixed(batch: Scenario, w: Weights, dims: Dims,
     converging in few rounds. Costs one extra kernel launch and compile
     class; quality gates (success, cost p50) must match the pure-f32 solve.
     """
+    import dataclasses as _dc
+
+    flags = flags or EngineFlags()
     p = cfg.opt.lbfgs
     mi = p.max_iterations if max_iterations is None else max_iterations
     p1 = max(mi // 3, 20) if phase1_iterations is None else phase1_iterations
     _res1, x1 = solve_batch_fused(batch, w, dims, cfg, max_iterations=p1,
                                   tb=tb, return_x=True,
-                                  mxu_precision="bfloat16")
+                                  flags=_dc.replace(flags, mxu="bf16"))
     return solve_batch_fused(batch, w, dims, cfg, max_iterations=mi, tb=tb,
-                             x0_override=x1)
+                             x0_override=x1,
+                             flags=_dc.replace(flags, mxu="f32"))
 
 
 def _solve_batch_fused(batch, w, dims, cfg, max_iterations, tb, interpret,
-                       x0_override=None, return_x=False, mxu="f32",
-                       clean_hist=True, frame="f32"):
+                       x0_override=None, return_x=False,
+                       flags: EngineFlags | None = None):
+    flags = flags or EngineFlags()
+    vt_scale = resolve_vt_scale(flags.vt_scale, dims.ns_tuple)
     dtype = jnp.float32 if not interpret else batch.init_T.dtype
     B = batch.ini_state.shape[0]
     assert B % tb == 0, (B, tb)
     p = cfg.opt.lbfgs
     max_iter = p.max_iterations if max_iterations is None else max_iterations
     sw = StaticW.build(w, cfg)
-    batch, x0p, sc, kc, D = _prep(batch, w, dims, cfg, dtype)
+    batch, x0p, sc, kc, D = _prep(batch, w, dims, cfg, dtype, vt_scale)
     if x0_override is not None:
         x0p = jnp.asarray(x0_override, dtype)
 
@@ -681,15 +791,23 @@ def _solve_batch_fused(batch, w, dims, cfg, max_iterations, tb, interpret,
         return pl.BlockSpec(shape, lambda b, nlead=nlead: (0,) * nlead,
                             memory_space=pltpu.VMEM)
 
-    R = dims.N * dims.K1
+    R = kcost.r_rows(dims)
     dp = dp_of(dims)
-    kern = functools.partial(_kernel, dims=dims, sw=sw, p=p,
-                             max_iter=max_iter, mxu=mxu,
-                             clean_hist=clean_hist, frame=frame)
-    x_out, stats = pl.pallas_call(
-        kern,
-        grid=(B // tb,),
-        in_specs=[
+
+    srows = slab_rows(dims, p)
+
+    def run(x0_, sc_, budget, slab=None, emit_carry=False):
+        """One whole-solve kernel launch over the lanes of x0_/sc_.
+
+        slab: packed solver state to resume from (_carry_to_slab);
+        emit_carry additionally outputs the final state slab. Returns
+        (x, stats[, slab_out])."""
+        B_ = x0_.shape[-1]
+        resume = slab is not None
+        kern = functools.partial(_kernel, dims=dims, sw=sw, p=p,
+                                 max_iter=budget, flags=flags,
+                                 emit_carry=emit_carry, resume=resume)
+        in_specs = [
             lane_spec((dp,)),                 # x0
             lane_spec((bnd_rows(dims),)),     # bnd
             lane_spec((misc_rows(dims),)),    # misc
@@ -700,18 +818,65 @@ def _solve_batch_fused(batch, w, dims, cfg, max_iterations, tb, interpret,
             const_spec(tuple(kc.P.shape)),      # [S, 3, R, C]
             const_spec(tuple(kc.Q.shape)),      # [S, Cq, C]
             const_spec(tuple(kc.gridc.shape)),  # [S, 2, R, 1]
-        ],
-        out_specs=[lane_spec((dp,)), lane_spec((8,))],
-        out_shape=[
-            jax.ShapeDtypeStruct((dp, B), dtype),
-            jax.ShapeDtypeStruct((8, B), dtype),
-        ],
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-    )(x0p, sc.bnd, sc.misc, sc.corr_n, sc.corr_p, sc.corr_m, sc.obs_c,
-      kc.P, kc.Q, kc.gridc)
+        ]
+        args = [x0_, sc_.bnd, sc_.misc, sc_.corr_n, sc_.corr_p,
+                sc_.corr_m, sc_.obs_c, kc.P, kc.Q, kc.gridc]
+        if resume:
+            in_specs.append(lane_spec((srows,)))
+            args.append(slab)
+        out_specs = [lane_spec((dp,)), lane_spec((8,))]
+        out_shape = [jax.ShapeDtypeStruct((dp, B_), dtype),
+                     jax.ShapeDtypeStruct((8, B_), dtype)]
+        if emit_carry:
+            out_specs.append(lane_spec((srows,)))
+            out_shape.append(jax.ShapeDtypeStruct((srows, B_), dtype))
+        return pl.pallas_call(
+            kern,
+            grid=(B_ // tb,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(*args)
+
+    phases = tuple(flags.phases or ())
+    tail_iters = sum(it for _, it in phases)
+    assert tail_iters < max_iter, (flags.phases, max_iter)
+    out1 = run(x0p, sc, max_iter - tail_iters, emit_carry=bool(phases))
+    x_out, stats = out1[0], out1[1]
+    slab = out1[2] if phases else None
+
+    # Multi-phase lane compaction (EngineFlags.phases): gather the lanes
+    # that exhausted the phase budget (status == MAXITER) into a dense
+    # ceil(frac*B) sub-batch — device-side stable sort, zero host round
+    # trips — and continue them FROM THE PACKED SOLVER-STATE SLAB, so the
+    # phased solve is bit-identical per lane to the uninterrupted run
+    # (history, bracket state, and the past-f window all carry over; the
+    # per-phase budget is cumulative through k). Padding lanes are already
+    # non-RUNNING and idle through the continuation; tiles whose lanes all
+    # finish exit early.
+    for i, (frac, iters) in enumerate(phases):
+        budget_i = max_iter - sum(it for _, it in phases[i + 1:])
+        n_i = min(B, max(tb, int(round(frac * B / tb)) * tb))
+        need = stats[1] == float(Status.MAXITER)
+        order = jnp.argsort(jnp.where(need, 0, 1), stable=True)
+        idx = order[:n_i]                                    # [n_i]
+        sc_sub = KScenario(*(a[..., idx] for a in sc))
+        last = i == len(phases) - 1
+        out2 = run(x_out[:, idx], sc_sub, budget_i, slab=slab[:, idx],
+                   emit_carry=not last)
+        x2, st2 = out2[0], out2[1]
+        sel = need[idx]                                      # continued?
+        x_out = x_out.at[:, idx].set(
+            jnp.where(sel[None], x2, x_out[:, idx]))
+        for r_ in range(4):
+            stats = stats.at[r_, idx].set(
+                jnp.where(sel, st2[r_], stats[r_][idx]))
+        if not last:
+            slab = slab.at[:, idx].set(out2[2])
 
     res = _finalize(batch, x_out, stats[0], stats[1].astype(jnp.int32),
-                    stats[2].astype(jnp.int32), w, dims, cfg, D)
+                    stats[2].astype(jnp.int32), w, dims, cfg, D, vt_scale)
     return (res, x_out) if return_x else res

@@ -41,7 +41,8 @@ def _metrics_of(res: SolveResult, axis: str):
 def make_sharded_solver(mesh: Mesh, cfg: PlannerConfig, dims: Dims,
                         max_iterations: int | None = None,
                         axis: str = "data", engine: str = "bminor",
-                        weights: Weights | None = None, tb: int = 128):
+                        weights: Weights | None = None, tb: int = 128,
+                        flags=None):
     """Build a pjit'd solver sharding the scenario batch over `axis`.
 
     Returns fn(batch: Scenario[B, ...], w: Weights) -> (SolveResult[B, ...],
@@ -67,7 +68,7 @@ def make_sharded_solver(mesh: Mesh, cfg: PlannerConfig, dims: Dims,
 
         def step_f(batch: Scenario):
             res = impl(batch, weights, dims=dims, cfg=cfg,
-                       max_iterations=max_iterations, tb=tb)
+                       max_iterations=max_iterations, tb=tb, flags=flags)
             return res, _metrics_of(res, axis)
 
         # check_vma=False: pallas_call's out_shape ShapeDtypeStructs carry
@@ -80,7 +81,7 @@ def make_sharded_solver(mesh: Mesh, cfg: PlannerConfig, dims: Dims,
         return lambda batch, w=None: fused_fn(batch)
 
     local = solver.make_solver(cfg, dims, max_iterations=max_iterations,
-                               jit=False, engine=engine)
+                               jit=False, engine=engine, flags=flags)
 
     def step(batch: Scenario, w: Weights):
         res: SolveResult = local(batch, w)

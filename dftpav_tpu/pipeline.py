@@ -32,6 +32,22 @@ from dftpav_tpu.frontend.native import _dptr, _load
 from dftpav_tpu.types import Dims, Scenario
 
 
+def quantized_counts(seg_durs, N: int, piece_duration: float = 1.0) -> tuple:
+    """Per-segment piece counts quantized to the {2, 4, ..., N} class
+    ladder from the reference's natural count max(round(dur/1s), 2)
+    (traj_manager.cpp:543)."""
+    allowed = [n for n in (2, 4, 8, 16, 32) if n <= N and N % n == 0]
+
+    def quant(dur):
+        want = max(2, int(round(dur / piece_duration)))
+        for n in allowed:
+            if n >= want:
+                return n
+        return allowed[-1]
+
+    return tuple(quant(d) for d in seg_durs)
+
+
 @dataclass
 class PlanMeta:
     """Host-side metadata for one planned scenario."""
@@ -93,41 +109,49 @@ class ParkingPlanner:
             if lib.df_plan_status(h) != 1:
                 return None, None
             nseg = lib.df_plan_nsegs(h)
-            if nseg > dims.S:
+            max_s = (max(d.S for d in self.dims_classes)
+                     if self.dims_classes else dims.S)
+            if nseg > max_s:
                 return None, None
             seg_durs = [lib.df_plan_seg_duration(h, i) for i in range(nseg)]
             if self.dims_classes:
-                want = max(2, int(round(max(seg_durs)
-                                        / cfg.opt.traj_piece_duration)))
-                dims = self.dims_classes[-1]
-                for d in self.dims_classes:
-                    if d.N >= want:
-                        dims = d
-                        break
-                if nseg > dims.S:
-                    return None, None
+                if any(d.Ns is not None for d in self.dims_classes):
+                    # per-SEGMENT class ladder: pick the class whose Ns
+                    # prefix equals this plan's natural quantized counts —
+                    # the static-shape form of the reference planning every
+                    # scenario at its own piecing (traj_manager.cpp:543)
+                    counts = quantized_counts(
+                        seg_durs, self.dims_classes[0].N,
+                        cfg.opt.traj_piece_duration)
+                    dims = None
+                    for d in self.dims_classes:
+                        if d.S >= nseg and d.Ns is not None \
+                                and d.Ns[:nseg] == counts:
+                            dims = d
+                            break
+                    if dims is None:
+                        return None, None
+                else:
+                    want = max(2, int(round(max(seg_durs)
+                                            / cfg.opt.traj_piece_duration)))
+                    dims = self.dims_classes[-1]
+                    for d in self.dims_classes:
+                        if d.N >= want:
+                            dims = d
+                            break
+                    if nseg > dims.S:
+                        return None, None
             elif self.small_dims is not None and \
                     max(seg_durs) < self.short_plan_s:
                 dims = self.small_dims
 
-            if dims.Ns is not None:
-                # per-SEGMENT piece class: quantize the reference's want
-                # (max(round(dur/1s), 2), traj_manager.cpp:543) to the
-                # class ladder {2, 4, ..., N} and keep only scenarios whose
-                # natural per-segment counts match this class — segment i
-                # is then re-pieced at exactly Ns[i] pieces below
-                allowed = [n for n in (2, 4, 8, 16, 32)
-                           if n <= dims.N and dims.N % n == 0]
-
-                def quant(dur):
-                    want = max(2, int(round(
-                        dur / cfg.opt.traj_piece_duration)))
-                    for n in allowed:
-                        if n >= want:
-                            return n
-                    return allowed[-1]
-
-                if tuple(quant(d) for d in seg_durs) != dims.Ns[:nseg]:
+            if dims.Ns is not None and not self.dims_classes:
+                # single pinned per-segment class: admit only scenarios
+                # whose natural quantized counts match it (the bench pins
+                # one class; the ladder path above covers the rest)
+                counts = quantized_counts(seg_durs, dims.N,
+                                          cfg.opt.traj_piece_duration)
+                if counts != dims.Ns[:nseg]:
                     return None, None
 
             ns_class = dims.ns_tuple

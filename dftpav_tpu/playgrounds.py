@@ -83,6 +83,7 @@ def _build_lane_net(spec: dict):
     P = int(spec["lane_net"].get("samples", 1024))
     ds = float(spec["lane_net"].get("ds", 1.0))
     for e in entries:
+        closed = bool(e.get("closed", False))
         if "waypoints" in e:
             wps = np.asarray(e["waypoints"], dtype=np.float64)
         elif "straight" in e:
@@ -95,9 +96,10 @@ def _build_lane_net(spec: dict):
             th = np.linspace(0, 2 * np.pi, 181)
             wps = np.stack([r["center"][0] + r["radius"] * np.cos(th),
                             r["center"][1] + r["radius"] * np.sin(th)], 1)
+            closed = True
         else:
             raise ValueError(f"lane entry needs waypoints/straight/ring: {e}")
-        lane = lane_mod.build_lane(wps, ds=ds, P=P)
+        lane = lane_mod.build_lane(wps, ds=ds, P=P, closed=closed)
         lanes.append(lane)
         lengths.append(float(lane.length))
         succ.append(list(e.get("successors", [])))

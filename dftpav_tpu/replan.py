@@ -95,6 +95,34 @@ def _resample_segment(coeffs, dT, start_t, N):
     return p, T_rem
 
 
+def _sample_fractions(n_s: int, K: int, Kdes: int, dtype):
+    """Static per-slot sample fractions: entry [i*K1 + k] is the segment
+    fraction (i + k/K_i)/n_s of sample k of piece i (pieces 0 and n_s-1 use
+    Kdes columns, interior K — basis.sample_grid layout); invalid padded
+    columns repeat the piece end."""
+    import numpy as np
+
+    K1 = max(K, Kdes) + 1
+    out = np.zeros((n_s * K1,))
+    for i in range(n_s):
+        Ki = Kdes if i in (0, n_s - 1) else K
+        for k in range(K1):
+            out[i * K1 + k] = (i + min(k, Ki) / Ki) / n_s
+    return jnp.asarray(out, dtype)
+
+
+def _rows_for_fracs(g, n_src: int, K: int, Kdes: int):
+    """Source sample-row indices (piece*K1 + col layout) nearest to segment
+    fractions g [R] for a source segment with n_src pieces."""
+    K1 = max(K, Kdes) + 1
+    gp = jnp.clip(g * n_src, 0.0, n_src - 1e-6)
+    p = jnp.floor(gp).astype(jnp.int32)
+    tau = gp - p.astype(g.dtype)
+    Kp = jnp.where((p == 0) | (p == n_src - 1), Kdes, K).astype(g.dtype)
+    col = jnp.round(tau * Kp).astype(jnp.int32)
+    return p * K1 + col
+
+
 def warm_start_scenario_multigear(scen: Scenario, prev: SolveResult,
                                   dt_shift, w: Weights,
                                   dims: Dims) -> Scenario:
@@ -108,11 +136,17 @@ def warm_start_scenario_multigear(scen: Scenario, prev: SolveResult,
     segment (head = trajectory state at the seed time), later segments keep
     their previous solutions as warm guesses, and freed slots are masked
     padding (copies of the last real segment, matching pipeline.py's
-    convention). Corridors ride along with their segments — the remaining
-    path stays inside the original segment corridors. Obstacle clocks
-    advance by dt_shift.
+    convention). Slot-aware resampling: each target SLOT s re-pieces its
+    source segment at the slot's own piece count dims.ns_tuple[s] (inner
+    waypoints at k/Ns[s] fractions of the remaining duration), and corridor
+    rows are remapped by trajectory fraction from the source segment's
+    layout to the slot's — so per-segment piece classes (Dims.Ns) warm-
+    start correctly when a segment crosses into a different-count slot, and
+    slot 0's rows track its truncated remainder. Obstacle clocks advance by
+    dt_shift.
     """
-    S, N = dims.S, dims.N
+    S, N, K1 = dims.S, dims.N, dims.K1
+    ns = dims.ns_tuple
     dtype = prev.coeffs.dtype
     segw = scen.seg_mask
     M = jnp.sum(segw.astype(jnp.int32))                    # valid segments
@@ -127,9 +161,65 @@ def warm_start_scenario_multigear(scen: Scenario, prev: SolveResult,
     idx_new = jnp.minimum(j + jnp.arange(S), jnp.maximum(M - 1, 0))
     new_mask = (jnp.arange(S) < (M - j)) & segw[0]
 
-    start_ts = jnp.where(jnp.arange(S) == 0, t_local, 0.0)
-    inner_new, T_new = jax.vmap(_resample_segment, in_axes=(0, 0, 0, None))(
-        prev.coeffs[idx_new], prev.dT[idx_new], start_ts, N)
+    # per-slot inner waypoints at the slot's own piece fractions; solution
+    # coefficients are always on the uniform N-piece output grid
+    # (pallas_solve._finalize), so evaluation is uniform regardless of the
+    # source segment's solve-time piecing
+    inner_rows, T_rows = [], []
+    for s in range(S):
+        src = idx_new[s]
+        coeffs_s, dT_s = prev.coeffs[src], prev.dT[src]
+        start_t = t_local if s == 0 else jnp.asarray(0.0, dtype)
+        seg_total = dT_s * N
+        T_rem = jnp.maximum(seg_total - start_t, ns[s] * 1e-2)
+        fr = jnp.arange(1, ns[s], dtype=dtype) / ns[s]     # [ns-1]
+        ts = jnp.clip(start_t + fr * T_rem, 0.0, seg_total)
+        idxp = jnp.clip((ts / dT_s).astype(jnp.int32), 0, N - 1)
+        tau = ts / dT_s - idxp.astype(dtype)
+        (p,) = minco.eval_derivatives(coeffs_s[idxp], dT_s, tau, orders=(0,))
+        if ns[s] < N:
+            p = jnp.concatenate(
+                [p, jnp.zeros((N - ns[s], 2), dtype)])
+        inner_rows.append(p)
+        T_rows.append(T_rem)
+    inner_new = jnp.stack(inner_rows)                      # [S, N-1, 2]
+    T_new = jnp.stack(T_rows)
+
+    # corridor rows remapped by segment fraction (nearest source sample):
+    # target slot s's fraction f maps to source fraction
+    # start_frac + f * (1 - start_frac) of segment idx_new[s]
+    cn_rows, cp_rows, cm_rows = [], [], []
+    flat_n = scen.corr_n.reshape(S, N * K1, dims.H, 2)
+    flat_p = scen.corr_p.reshape(S, N * K1, dims.H, 2)
+    flat_m = scen.corr_mask.reshape(S, N * K1, dims.H)
+    for s in range(S):
+        src = idx_new[s]
+        start_t = t_local if s == 0 else jnp.asarray(0.0, dtype)
+        seg_total = prev.dT[src] * N
+        start_frac = jnp.clip(start_t / jnp.maximum(seg_total, 1e-6),
+                              0.0, 1.0)
+        f_t = _sample_fractions(ns[s], dims.K, dims.Kdes, dtype)  # [ns*K1]
+        g = start_frac + f_t * (1.0 - start_frac)
+        # source row layout depends on the (traced) source segment's class
+        # count: compute candidates per static count, select on src
+        rows = _rows_for_fracs(g, ns[0], dims.K, dims.Kdes)
+        for jc in range(1, S):
+            rows = jnp.where(src == jc,
+                             _rows_for_fracs(g, ns[jc], dims.K, dims.Kdes),
+                             rows)
+        pad = N * K1 - rows.shape[0]
+        if pad:
+            rows = jnp.concatenate([rows, jnp.zeros((pad,), jnp.int32)])
+        cn_rows.append(flat_n[src][rows])
+        cp_rows.append(flat_p[src][rows])
+        m = flat_m[src][rows]
+        if pad:
+            valid = jnp.arange(N * K1) < (N * K1 - pad)
+            m = m & valid[:, None]
+        cm_rows.append(m)
+    corr_n = jnp.stack(cn_rows).reshape(S, N, K1, dims.H, 2)
+    corr_p = jnp.stack(cp_rows).reshape(S, N, K1, dims.H, 2)
+    corr_mask = jnp.stack(cm_rows).reshape(S, N, K1, dims.H)
 
     new_head = _eval_flat_state(prev.coeffs[j], prev.dT[j], t_local)
     ini = scen.ini_state[idx_new]
@@ -142,17 +232,184 @@ def warm_start_scenario_multigear(scen: Scenario, prev: SolveResult,
         init_T=jnp.maximum(T_new, N * w.mini_t + 1e-3),
         singul=scen.singul[idx_new],
         seg_mask=new_mask,
-        corr_n=scen.corr_n[idx_new],
-        corr_p=scen.corr_p[idx_new],
-        corr_mask=scen.corr_mask[idx_new],
+        corr_n=corr_n,
+        corr_p=corr_p,
+        corr_mask=corr_mask,
         obs_rel_t0=scen.obs_rel_t0 + jnp.asarray(dt_shift,
                                                  scen.obs_rel_t0.dtype),
     )
 
 
+def check_replan_batch(scen: Scenario, prev: SolveResult, age, w: Weights,
+                       dims: Dims, cfg: PlannerConfig,
+                       horizon_s: float = 3.0, step_s: float = 0.05,
+                       near_end_s: float = 1.5):
+    """Batched CheckReplan: [B] bool, True where a lane must re-solve.
+
+    The reference replans only when needed (traj_server_ros.cpp:359-402):
+    no executing trajectory, the trajectory nearly exhausted, or a
+    collision found sweeping the executing trajectory at 0.05 s
+    granularity against the current environment. Batched equivalents:
+      * failed/absent solve: ~prev.success;
+      * near end AND the goal moved: remaining duration (from per-lane
+        `age`, the execution time since the lane's last solve) below
+        near_end_s while the executing trajectory's end pose no longer
+        matches the scenario goal (the reference's is_near &&
+        target_moved, traj_server_ros.cpp:373-380 — a lane parked at a
+        static goal never re-solves);
+      * collision sweep: the executing trajectory sampled every step_s
+        over the next horizon_s is tested against (a) the lane's dynamic
+        obstacles — center distance below the vehicle-length clearance the
+        surround penalty enforces — and (b) its static corridor: a sample
+        outside the half-planes of its corridor row (the map-collision
+        proxy available in the jitted stream; the map itself lives host-
+        side). S == 1 classes (the receding-horizon stream shape).
+
+    Single scenario logic; vmapped over the batch by the caller or here
+    when inputs carry a leading [B] axis.
+    """
+    assert dims.S == 1, "gated stream: S == 1 classes"
+
+    def one(sc: Scenario, pv: SolveResult, ag):
+        dtype = pv.coeffs.dtype
+        N, K1 = dims.N, dims.K1
+        coeffs, dT = pv.coeffs[0], pv.dT[0]
+        total = dT * N
+        rem = total - ag
+        need = ~pv.success
+        end_pos, = minco.eval_derivatives(coeffs[N - 1], dT,
+                                          jnp.asarray(1.0, dtype),
+                                          orders=(0,))
+        goal = sc.fin_state[-1, :, 0]
+        target_moved = jnp.sum((end_pos - goal) ** 2) > 0.1 ** 2
+        need = need | ((rem < near_end_s) & target_moved)
+
+        M = int(round(horizon_s / step_s))
+        ts = ag + step_s * jnp.arange(1, M + 1, dtype=dtype)
+        live = ts < total
+        tc = jnp.clip(ts, 0.0, total)
+        idx = jnp.clip((tc / dT).astype(jnp.int32), 0, N - 1)
+        tau = tc / dT - idx.astype(dtype)
+        p, v = minco.eval_derivatives(coeffs[idx], dT, tau, orders=(0, 1))
+
+        # (a) dynamic obstacles: piecewise-quintic position at absolute
+        # time, constant extrapolation past the end; clearance from the
+        # surround penalty's geometry (veh_len circle approximation)
+        if dims.O > 0:
+            obs_t = sc.obs_rel_t0[:, None] + ts[None]        # [O, M]
+            ft = jnp.clip(obs_t / sc.obs_dt[:, None], 0.0,
+                          dims.Po - 1e-4)
+            pi = jnp.clip(jnp.floor(ft).astype(jnp.int32), 0, dims.Po - 1)
+            ptau = ft - pi.astype(dtype)
+            co = jnp.take_along_axis(
+                sc.obs_coef, pi[:, :, None, None], axis=1)   # [O, M, 6, 2]
+            powers = ptau[..., None] ** jnp.arange(6, dtype=dtype)
+            op = jnp.einsum("omk,omkd->omd", powers, co)     # [O, M, 2]
+            d2 = jnp.sum((op - p[None]) ** 2, axis=-1)       # [O, M]
+            # center-distance proxy: below ~half a vehicle length the two
+            # hulls are close enough that the planned clearance is gone
+            # (the reference sweeps the static map only; dynamic obstacles
+            # are the optimizer's job — this is a cheap extra trigger)
+            vlen = cfg.vehicle.length
+            hit = (d2 < (0.5 * vlen) ** 2) & sc.obs_mask[:, None] \
+                & live[None]
+            need = need | jnp.any(hit)
+
+        # (b) static corridor containment: sample row by trajectory
+        # fraction, center must satisfy the row's half-planes (+ margin)
+        frac = jnp.clip(tc / jnp.maximum(total, 1e-6), 0.0, 1.0 - 1e-6)
+        gp = frac * N
+        pc = jnp.floor(gp).astype(jnp.int32)
+        ptau2 = gp - pc.astype(dtype)
+        Kp = jnp.where((pc == 0) | (pc == N - 1),
+                       float(dims.Kdes), float(dims.K))
+        col = jnp.round(ptau2 * Kp).astype(jnp.int32)
+        cn = sc.corr_n[0][pc, col]                           # [M, H, 2]
+        cp = sc.corr_p[0][pc, col]
+        cm = sc.corr_mask[0][pc, col]                        # [M, H]
+        viol = jnp.sum(cn * (p[:, None, :] - cp), axis=-1)   # [M, H]
+        out = jnp.any((viol > 0.3) & cm, axis=-1) & live
+        need = need | jnp.any(out)
+        return need
+
+    if scen.ini_state.ndim == 4:                             # leading [B]
+        return jax.vmap(one)(scen, prev, jnp.asarray(age))
+    return one(scen, prev, jnp.asarray(age))
+
+
+def make_gated_replanner(cfg: PlannerConfig, dims: Dims, dt_shift: float,
+                         max_iterations: int = 50, engine: str = "fused",
+                         flags=None, capacity: float = 0.5,
+                         check_kwargs: dict | None = None):
+    """Gated batched replan stream: only lanes whose CheckReplan fires are
+    re-solved; the rest keep executing their previous solution.
+
+    State rides in (batch, prev, age): the scenario each lane last solved,
+    its SolveResult, and the per-lane execution age (seconds since that
+    solve). Each tick every lane ages by dt_shift; lanes failing
+    check_replan_batch are gathered — device-side top-k, zero host round
+    trips — into a dense `capacity * B` sub-batch (a static replan-QPS
+    budget, like the reference's one-solve-per-cycle budget), warm-started
+    from their own solutions, re-solved, and scattered back with age 0.
+    Lanes needing a replan beyond capacity retry next tick.
+
+    Returns step(batch, prev, age, w) -> (batch', prev', age', n_need).
+    """
+    assert dims.S == 1, "gated stream: S == 1 classes"
+    tb = 128
+    ck = check_kwargs or {}
+
+    base = solver.make_solver(cfg, dims, max_iterations=max_iterations,
+                              engine=engine, flags=flags)
+
+    def gate_and_pack(batch: Scenario, prev: SolveResult, age, w: Weights,
+                      n_cap: int):
+        age = jnp.asarray(age)
+        age_n = age + dt_shift
+        need = check_replan_batch(batch, prev, age_n, w, dims, cfg, **ck)
+        order = jnp.argsort(jnp.where(need, 0, 1), stable=True)
+        idx = order[:n_cap]
+        sub_scen = jax.tree.map(lambda a: a[idx], batch)
+        sub_prev = jax.tree.map(lambda a: a[idx], prev)
+        sub_age = age_n[idx]
+        shifted = jax.vmap(
+            lambda s, p, a: warm_start_scenario(s, p, a, w, dims)
+        )(sub_scen, sub_prev, sub_age)
+        return need, idx, shifted
+
+    gate_j = jax.jit(gate_and_pack, static_argnames=("n_cap",))
+
+    def scatter(batch, prev, age, need, idx, shifted, res, w):
+        sel = need[idx]                                     # actually replanned
+        age_n = jnp.asarray(age) + dt_shift
+
+        def put(dst, new):
+            cur = dst[idx]
+            exp = sel.reshape((-1,) + (1,) * (cur.ndim - 1))
+            return dst.at[idx].set(jnp.where(exp, new, cur))
+
+        batch2 = Scenario(*(put(d, n) for d, n in zip(batch, shifted)))
+        prev2 = SolveResult(*(put(d, n) for d, n in zip(prev, res)))
+        age2 = age_n.at[idx].set(jnp.where(sel, 0.0, age_n[idx]))
+        return batch2, prev2, age2
+
+    scatter_j = jax.jit(scatter)
+
+    def step(batch: Scenario, prev: SolveResult, age, w: Weights):
+        B = batch.ini_state.shape[0]
+        n_cap = min(B, max(tb, int(round(capacity * B / tb)) * tb))
+        need, idx, shifted = gate_j(batch, prev, age, w, n_cap)
+        res = base(shifted, w)
+        batch2, prev2, age2 = scatter_j(batch, prev, age, need, idx,
+                                        shifted, res, w)
+        return batch2, prev2, age2, jnp.sum(need.astype(jnp.int32))
+
+    return step
+
+
 def make_replanner(cfg: PlannerConfig, dims: Dims, dt_shift: float,
                    max_iterations: int = 50, jit: bool = True,
-                   engine: str = "bminor"):
+                   engine: str = "bminor", flags=None):
     """Jitted replan step: (Scenario[B], SolveResult[B], Weights) ->
     (Scenario[B], SolveResult[B]).
 
@@ -178,7 +435,7 @@ def make_replanner(cfg: PlannerConfig, dims: Dims, dt_shift: float,
 
     if engine in ("fused", "fused-mixed"):
         base = solver.make_solver(cfg, dims, max_iterations=max_iterations,
-                                  engine=engine)
+                                  engine=engine, flags=flags)
         shift_j = jax.jit(shift) if jit else shift
 
         def step(batch: Scenario, prev: SolveResult, w: Weights):
@@ -188,7 +445,7 @@ def make_replanner(cfg: PlannerConfig, dims: Dims, dt_shift: float,
         return step
 
     base = solver.make_solver(cfg, dims, max_iterations=max_iterations,
-                              jit=False, engine=engine)
+                              jit=False, engine=engine, flags=flags)
 
     def step(batch: Scenario, prev: SolveResult, w: Weights):
         shifted = shift(batch, prev, w)

@@ -179,9 +179,15 @@ def batch_scenarios(dims: Dims, batch: int, seed=0, dtype=np.float64,
 
 def gear_scenario(dims: Dims, wheel_base=2.85, dtype=np.float64) -> Scenario:
     """Two-segment forward/reverse maneuver (S=2): drive forward, then back
-    into a lateral offset — exercises gear-position/angle decision variables."""
+    into a lateral offset — exercises gear-position/angle decision
+    variables. Ns-aware: with a per-segment piece class, each slot's inner
+    waypoints sit at its own k/Ns[s] fractions, corridors are laid out on
+    its own sample grid, and durations scale with the slot's piece count
+    (a 2-piece reversal gets a reversal-length duration — solving a short
+    segment on 8 pieces produces dT^-5 jerk blowups by design)."""
     assert dims.S == 2
     N = dims.N
+    ns = dims.ns_tuple
     ini = state_to_flat((0.0, 0.0), 0.0, 1.0, 0.0, 0.0, wheel_base, 1, dtype=dtype)
     mid_pos = np.array([8.0, 1.0])
     mid_yaw = 0.5
@@ -189,23 +195,40 @@ def gear_scenario(dims: Dims, wheel_base=2.85, dtype=np.float64) -> Scenario:
     mid_b = state_to_flat(mid_pos, mid_yaw, 0.2, 0.0, 0.0, wheel_base, -1, dtype=dtype)
     end = state_to_flat((5.0, -2.0), 0.2, 0.5, 0.0, 0.0, wheel_base, -1, dtype=dtype)
 
-    frac = np.linspace(0.0, 1.0, N + 1)[1:-1]
-    inner0 = np.stack([mid_pos[0] * frac, mid_pos[1] * frac], -1).astype(dtype)
-    inner1 = (mid_pos + (np.array([5.0, -2.0]) - mid_pos) * frac[:, None]).astype(dtype)
+    def seg_inner(n_s, a, b):
+        frac = np.linspace(0.0, 1.0, n_s + 1)[1:-1]
+        pts = (np.asarray(a) + (np.asarray(b) - np.asarray(a))
+               * frac[:, None]).astype(dtype)
+        out = np.zeros((N - 1, 2), dtype)
+        out[:n_s - 1] = pts
+        return out
 
-    grid = sample_grid(dims.N, dims.K, dims.Kdes)
-    s_frac = (grid.frac / N).astype(dtype)
-    c0 = np.stack([mid_pos[0] * s_frac, mid_pos[1] * s_frac], -1)
-    c1 = mid_pos + (np.array([5.0, -2.0]) - mid_pos) * s_frac[..., None]
-    n0, p0, m0 = _corridor_from_boxes(c0, 10.0, 10.0, dims, dtype)
-    n1, p1, m1 = _corridor_from_boxes(c1, 10.0, 10.0, dims, dtype)
+    inner0 = seg_inner(ns[0], (0.0, 0.0), mid_pos)
+    inner1 = seg_inner(ns[1], mid_pos, (5.0, -2.0))
+
+    def seg_corridor(n_s, a, b):
+        grid = sample_grid(n_s, dims.K, dims.Kdes)
+        s_frac = (grid.frac / n_s).astype(dtype)        # [n_s, K1]
+        c = (np.asarray(a)
+             + (np.asarray(b) - np.asarray(a)) * s_frac[..., None])
+        cn = np.zeros((N, dims.K1, dims.H, 2), dtype)
+        cp = np.zeros((N, dims.K1, dims.H, 2), dtype)
+        cm = np.zeros((N, dims.K1, dims.H), bool)
+        d1 = Dims(**{**dims.__dict__, "S": 2, "N": n_s, "Ns": None})
+        n_, p_, m_ = _corridor_from_boxes(c, 10.0, 10.0, d1, dtype)
+        cn[:n_s], cp[:n_s], cm[:n_s] = n_, p_, m_
+        return cn, cp, cm
+
+    n0, p0, m0 = seg_corridor(ns[0], (0.0, 0.0), mid_pos)
+    n1, p1, m1 = seg_corridor(ns[1], mid_pos, (5.0, -2.0))
 
     O, Po = dims.O, dims.Po
     return Scenario(
         ini_state=np.stack([ini, mid_b]),
         fin_state=np.stack([mid_f, end]),
         init_inner=np.stack([inner0, inner1]),
-        init_T=np.array([4.0, 4.0], dtype),
+        init_T=np.array([4.0, 4.0], dtype) if dims.Ns is None else
+        np.array([max(2.0, 0.75 * ns[0]), max(2.0, 0.75 * ns[1])], dtype),
         singul=np.array([1, -1], np.int32),
         seg_mask=np.array([True, True]),
         corr_n=np.stack([n0, n1]), corr_p=np.stack([p0, p1]),
@@ -329,3 +352,87 @@ def frontend_batch(dims: Dims, batch: int, seed=0, dtype=np.float32,
                     obs_rel_t0=obs["obs_rel_t0"], obs_mask=obs["obs_mask"])
             out.append(scen)
     return stack_scenarios(out)
+
+
+def frontend_pool_multigear(classes, n_plans: int, seed=11,
+                            dtype=np.float32, n_obstacles=0,
+                            lot=(40.0, 60.0), queries_per_grid=16,
+                            max_search_time=0.1):
+    """Pool of TWO-gear front-end plans bucketed by per-segment piece
+    class.
+
+    `classes`: list of Dims with Ns set (the S=2 class ladder). Every
+    successful nseg==2 plan is assembled for the class whose Ns equals its
+    natural quantized counts (pipeline.plan_scenario ladder selection) —
+    the reference plans EVERY scenario at its own piecing
+    (traj_manager.cpp:543); this is its static-shape form. Returns
+    (buckets, n_s2): buckets maps each class's Ns tuple to a list of
+    Scenario, n_s2 counts all two-gear plans seen (including ones whose
+    counts no class covers — the admission denominator for the
+    distribution-weighted bench line).
+    """
+    from dftpav_tpu.config import FrontendConfig, PlannerConfig
+    from dftpav_tpu.pipeline import ParkingPlanner
+    from dftpav_tpu.sim.obstacles import CircularMover, fit_surround_trajs
+
+    rng = np.random.default_rng(seed)
+    cfg = PlannerConfig()
+    cfg = type(cfg)(**{**cfg.__dict__,
+                       "frontend": FrontendConfig(
+                           max_search_time=max_search_time)})
+    buckets = {c.Ns: [] for c in classes}
+    n_s2 = 0
+    attempts = 0
+    got = 0
+    while got < n_plans and attempts < 80 * n_plans:
+        grid = random_lot_grid(rng, lot=lot,
+                               n_boxes=int(rng.integers(4, 9)))
+        pp = ParkingPlanner(grid, cfg, classes[0], dtype=dtype,
+                            dims_classes=list(classes))
+        vp = cfg.vehicle
+
+        def free_pose():
+            for _ in range(50):
+                x = rng.uniform(5.0, lot[1] - 5.0)
+                y = rng.uniform(5.0, lot[0] - 5.0)
+                yaw = rng.uniform(-np.pi, np.pi)
+                if not grid.obb_collides(x, y, yaw, vp.length + 0.6,
+                                         vp.width + 0.6, vp.d_cr):
+                    return x, y, yaw
+            return None
+
+        for _ in range(queries_per_grid):
+            if got >= n_plans:
+                break
+            attempts += 1
+            sp = free_pose()
+            g = free_pose()
+            if sp is None or g is None:
+                continue
+            if grid.obb_collides(g[0], g[1], g[2], vp.length + 0.4,
+                                 vp.width + 0.4, vp.d_cr):
+                continue
+            v0 = rng.uniform(0.2, 2.0)
+            scen, meta = pp.plan_scenario((sp[0], sp[1], sp[2], v0),
+                                          (g[0], g[1], g[2], 0.0))
+            if scen is None or meta.n_segments != 2:
+                continue
+            n_s2 += 1
+            got += 1
+            key = meta.dims.Ns
+            if n_obstacles > 0 and meta.dims.O > 0:
+                movers = [CircularMover(
+                    center=(rng.uniform(10.0, lot[1] - 10.0),
+                            rng.uniform(10.0, lot[0] - 10.0)),
+                    radius=rng.uniform(8.0, 14.0),
+                    speed=rng.uniform(2.0, 4.5),
+                    phase=rng.uniform(0.0, 2 * np.pi),
+                    ccw=bool(rng.integers(0, 2)))
+                    for _ in range(min(n_obstacles, meta.dims.O))]
+                obs = fit_surround_trajs(movers, 0.0, meta.dims,
+                                         dtype=dtype)
+                scen = scen._replace(
+                    obs_coef=obs["obs_coef"], obs_dt=obs["obs_dt"],
+                    obs_rel_t0=obs["obs_rel_t0"], obs_mask=obs["obs_mask"])
+            buckets[key].append(scen)
+    return buckets, n_s2

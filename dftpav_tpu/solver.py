@@ -127,7 +127,8 @@ def solve_batch_bminor(batch: Scenario, w: Weights, dims: Dims,
 
 def make_solver(cfg: PlannerConfig, dims: Dims,
                 max_iterations: int | None = None, jit: bool = True,
-                engine: str = "bminor"):
+                engine: str = "bminor",
+                flags: "EngineFlags | None" = None):
     """Build a batched solver: (Scenario with leading [B] axis, Weights) -> SolveResult.
 
     Engines (all the same math; see PERF.md for hardware numbers):
@@ -142,7 +143,14 @@ def make_solver(cfg: PlannerConfig, dims: Dims,
       "fused-mixed": two-phase fused solve — bf16 exploration + f32
           refinement (see solve_batch_fused_mixed).
       "vmap": the readable per-scenario reference path.
+
+    flags: EngineFlags tuning knobs for the kcost engines (rounds/fused).
+    None resolves to EngineFlags.from_env() — library defaults (exact
+    lbfgs.hpp parity semantics) with any set DFTPAV_* env vars applied;
+    benchmarks pass EngineFlags.tuned() explicitly.
     """
+    from dftpav_tpu.config import EngineFlags
+
     if engine != "vmap" and getattr(cfg.opt, "ref_gradient_compat", False):
         raise ValueError(
             "ref_gradient_compat (the reference's cross-segment time-grad "
@@ -154,6 +162,8 @@ def make_solver(cfg: PlannerConfig, dims: Dims,
             "per-segment piece classes (Dims.Ns) are implemented by the "
             "kcost-based engines (rounds/fused); the bminor/vmap paths "
             "assume uniform N")
+    if flags is None:
+        flags = EngineFlags.from_env()
     if engine in ("fused", "fused-mixed"):
         import os as _os
 
@@ -161,14 +171,8 @@ def make_solver(cfg: PlannerConfig, dims: Dims,
                                                  solve_batch_fused_mixed)
         import numpy as _np
 
-        # in-round mixed precision is the default: objective matmuls as
-        # 3-pass bf16 splits, solver frame on exact fp32 contracts (see
-        # pallas_solve.solve_batch_fused; override via DFTPAV_MXU)
-        mxu = _os.environ.get("DFTPAV_MXU", "x3")
-        if engine == "fused-mixed":
-            impl = solve_batch_fused_mixed
-        else:
-            impl = functools.partial(solve_batch_fused, mxu_precision=mxu)
+        impl = (solve_batch_fused_mixed if engine == "fused-mixed"
+                else solve_batch_fused)
         compiled = {}
 
         def fused(batch, w):
@@ -179,7 +183,7 @@ def make_solver(cfg: PlannerConfig, dims: Dims,
                 wk = w
                 jitted = jax.jit(lambda b: impl(
                     b, wk, dims=dims, cfg=cfg,
-                    max_iterations=max_iterations))
+                    max_iterations=max_iterations, flags=flags))
                 # serialized-executable cache: a previously-compiled class
                 # cold-loads in <1 s instead of re-paying the 150-230 s
                 # remote compile (utils/exec_cache; DFTPAV_EXEC_CACHE=0
@@ -187,7 +191,7 @@ def make_solver(cfg: PlannerConfig, dims: Dims,
                 from dftpav_tpu.utils import exec_cache
                 compiled[key] = exec_cache.load_or_compile(
                     jitted, (batch,),
-                    key_parts=(engine, mxu, dims, max_iterations, wkey,
+                    key_parts=(engine, flags, dims, max_iterations, wkey,
                                repr(cfg)),
                     verbose=_os.environ.get("DFTPAV_EXEC_CACHE_VERBOSE")
                     == "1")
@@ -197,7 +201,7 @@ def make_solver(cfg: PlannerConfig, dims: Dims,
     if engine == "rounds":
         from dftpav_tpu.ops.pallas_solve import solve_batch_rounds
         fn = functools.partial(solve_batch_rounds, dims=dims, cfg=cfg,
-                               max_iterations=max_iterations)
+                               max_iterations=max_iterations, flags=flags)
     elif engine == "bminor":
         fn = functools.partial(solve_batch_bminor, dims=dims, cfg=cfg,
                                max_iterations=max_iterations)

@@ -109,17 +109,17 @@ def _catmull_rom(points: np.ndarray, samples_per_seg: int = 32) -> np.ndarray:
 
 
 def build_lane(waypoints, ds: float = 0.5, P: int = 512,
-               dtype=np.float32, closed: bool | None = None) -> Lane:
+               dtype=np.float32, closed: bool = False) -> Lane:
     """Fit + uniformly resample a lane from sparse waypoints (host, NumPy).
 
     Equivalent role to LaneGenerator::GetLaneBySampleFitting
     (reference: src/Sim/core/common/src/common/spline/spline_generator.cc).
-    `closed=None` auto-detects a ring (first and last waypoint coincide);
-    closed lanes wrap arc-length queries at the seam.
+    `closed=True` marks a ring lane: arc-length queries wrap at the seam.
+    Open is the default — a polyline that merely starts and ends at the
+    same point keeps clamping semantics unless the caller opts in
+    (coincident endpoints are NOT auto-promoted to a ring).
     """
     wp = np.asarray(waypoints, dtype=np.float64)
-    if closed is None:
-        closed = bool(np.allclose(wp[0], wp[-1], atol=1e-6))
     dense = _catmull_rom(wp)
     seg = np.linalg.norm(np.diff(dense, axis=0), axis=1)
     keep = np.concatenate([[True], seg > 1e-12])

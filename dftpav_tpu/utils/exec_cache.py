@@ -59,14 +59,43 @@ def cache_key(key_parts) -> str:
         dev_kind = f"{dev.platform}:{getattr(dev, 'device_kind', '?')}"
     except Exception:
         dev_kind = "none"
-    # every DFTPAV_* env knob can change the traced program (chunk size,
-    # remat choices, frame/mxu modes) — fold them all into the key
-    knobs = tuple(sorted((k, v) for k, v in os.environ.items()
-                         if k.startswith("DFTPAV_")
-                         and not k.startswith("DFTPAV_EXEC_CACHE")))
-    payload = repr((jax.__version__, dev_kind, _source_hash(), knobs,
-                    key_parts))
+    # program-shaping knobs (EngineFlags etc.) arrive via key_parts — since
+    # round 5 the traced program reads no environment variables, so the key
+    # no longer scrapes os.environ
+    payload = repr((jax.__version__, dev_kind, _source_hash(), key_parts))
     return hashlib.sha256(payload.encode()).hexdigest()[:24]
+
+
+def gc(cache_dir: str | None = None, max_bytes: int | None = None) -> int:
+    """Evict least-recently-used blobs until the cache fits max_bytes
+    (default DFTPAV_EXEC_CACHE_MAX_GB, 3.0). Returns bytes freed. Runs
+    automatically after every save; loads bump mtime so warm classes
+    survive."""
+    cdir = cache_dir or os.environ.get("DFTPAV_EXEC_CACHE_DIR", DEFAULT_DIR)
+    if max_bytes is None:
+        max_bytes = int(float(os.environ.get(
+            "DFTPAV_EXEC_CACHE_MAX_GB", "3.0")) * (1 << 30))
+    try:
+        entries = []
+        for name in os.listdir(cdir):
+            if not name.endswith(".pkl"):
+                continue
+            path = os.path.join(cdir, name)
+            st = os.stat(path)
+            entries.append((st.st_mtime, st.st_size, path))
+    except OSError:
+        return 0
+    total = sum(e[1] for e in entries)
+    freed = 0
+    for mtime, size, path in sorted(entries):
+        if total - freed <= max_bytes:
+            break
+        try:
+            os.remove(path)
+            freed += size
+        except OSError:
+            pass
+    return freed
 
 
 def load_or_compile(jitted, args, key_parts, cache_dir: str | None = None,
@@ -99,6 +128,10 @@ def load_or_compile(jitted, args, key_parts, cache_dir: str | None = None,
             with open(path, "rb") as f:
                 blob = pickle.load(f)
             loaded = se.deserialize_and_load(*blob)
+            try:
+                os.utime(path)      # LRU bump for gc()
+            except OSError:
+                pass
             if verbose:
                 print(f"[exec_cache] loaded {path}")
             return loaded
@@ -115,6 +148,7 @@ def load_or_compile(jitted, args, key_parts, cache_dir: str | None = None,
             with os.fdopen(fd, "wb") as f:
                 pickle.dump(blob, f)
             os.replace(tmp, path)
+            gc(cdir)
             if verbose:
                 print(f"[exec_cache] saved {path}")
         except Exception as e:

@@ -48,23 +48,18 @@ def _bench_fixture(B):
 @requires_tpu
 def test_fused_kernel_hardware_smoke():
     """Gates the PUBLISHED program: bench batch size (B=1024 — VMEM fit and
-    tile scheduling are size-dependent), the bench engine/precision AND the
-    bench's adaptive-line-search setting (bench.py sets the same envs)."""
-    import os
-
+    tile scheduling are size-dependent) and the bench engine configuration
+    (EngineFlags.tuned(), exactly what bench.py passes)."""
     from dftpav_tpu import solver
+    from dftpav_tpu.config import EngineFlags
 
-    os.environ.setdefault("DFTPAV_ADAPTIVE_STEP", "1")
-    os.environ.setdefault("DFTPAV_ADAPTIVE_STEP_LO", "0.001")
-    os.environ.setdefault("DFTPAV_ADAPTIVE_STEP_MULT", "1.2")
-    os.environ.setdefault("DFTPAV_VT_SCALE", "0.25")
     B = 1024
     cfg, dims, batch, w = _bench_fixture(B)
 
     # 150-iteration budget: the engines only share a basin at convergence
     # (intermediate iterates diverge between float paths)
     fused = solver.make_solver(cfg, dims, max_iterations=150,
-                               engine="fused")
+                               engine="fused", flags=EngineFlags.tuned())
     res = fused(batch, w)
     cost = np.asarray(res.cost)            # host readback = real sync
     succ = np.asarray(res.success.astype(jnp.int32))

@@ -644,7 +644,7 @@ class TestRingLane:
         lap start instead of freezing on the last sample."""
         th = np.linspace(0.0, 2 * np.pi, 64)
         wp = np.stack([20.0 * np.cos(th), 20.0 * np.sin(th)], axis=1)
-        ring = lane_mod.build_lane(wp, ds=0.5, P=512)
+        ring = lane_mod.build_lane(wp, ds=0.5, P=512, closed=True)
         assert bool(ring.closed)
         L = float(ring.length)
         p_wrap, t_wrap, _ = lane_mod.lane_point(ring, jnp.asarray(L + 3.0))
@@ -667,7 +667,7 @@ class TestRingLane:
         the centerline across the seam (no end-of-lane lookahead freeze)."""
         th = np.linspace(0.0, 2 * np.pi, 64)
         wp = np.stack([30.0 * np.cos(th), 30.0 * np.sin(th)], axis=1)
-        ring = lane_mod.build_lane(wp, ds=0.5, P=512)
+        ring = lane_mod.build_lane(wp, ds=0.5, P=512, closed=True)
         lanes = jax.tree.map(lambda f: f[None], ring)
         # start just BEFORE the seam (s ~ length - 5), on-lane heading
         L = float(ring.length)

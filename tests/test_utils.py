@@ -104,8 +104,9 @@ class TestSerialization:
 
 class TestExecCache:
     def test_keys_and_save(self, tmp_path, monkeypatch):
-        """utils/exec_cache: blobs are written per key; DFTPAV_* knobs and
-        key parts change the key; the kill switch bypasses the cache.
+        """utils/exec_cache: blobs are written per key; key parts (which
+        carry EngineFlags since round 5 — the key no longer scrapes
+        os.environ) change the key; the kill switch bypasses the cache.
         (The LOAD path is single-device only — a deserialized executable
         re-targets all local devices, which the 8-virtual-CPU suite mesh
         cannot satisfy; the real load/run roundtrip is exercised on the
@@ -133,11 +134,16 @@ class TestExecCache:
         exec_cache.load_or_compile(jitted, (x,), key_parts="b",
                                    cache_dir=str(tmp_path))
         assert len(list(tmp_path.glob("*.pkl"))) == 2
-        # a DFTPAV_* knob folds into the key
-        key_before = exec_cache.cache_key("a")
+        # EngineFlags in key_parts fold into the key (the env-knob era's
+        # os.environ scraping is gone: library code reads no env vars)
+        from dftpav_tpu.config import EngineFlags
+        k_def = exec_cache.cache_key(("fused", EngineFlags()))
+        k_tuned = exec_cache.cache_key(("fused", EngineFlags.tuned()))
+        assert k_def != k_tuned
         monkeypatch.setenv("DFTPAV_SOME_KNOB", "1")
-        assert exec_cache.cache_key("a") != key_before
-        exec_cache.load_or_compile(jitted, (x,), key_parts="a",
+        assert exec_cache.cache_key(("fused", EngineFlags())) == k_def
+        exec_cache.load_or_compile(jitted, (x,),
+                                   key_parts=("fused", EngineFlags()),
                                    cache_dir=str(tmp_path))
         assert len(list(tmp_path.glob("*.pkl"))) == 3
         # kill switch bypasses both read and write

@@ -54,9 +54,15 @@ def main():
             lambda a: jax.ShapeDtypeStruct(np.shape(a), jnp.asarray(a).dtype,
                                            sharding=repl), tree)
 
+    from dftpav_tpu.config import EngineFlags
+
+    base = EngineFlags(mxu={"float32": "f32", "x3": "x3",
+                            "bfloat16": "bf16"}[mxu])
+    flags = EngineFlags.from_env(base)   # DFTPAV_* env overrides (phases..)
+    print("flags:", flags)
     fn = jax.jit(lambda b: solve_batch_fused(
         b, w, dims=dims, cfg=cfg, max_iterations=max_iter, tb=tb,
-        mxu_precision=mxu))
+        flags=flags))
     import time
     t0 = time.time()
     lowered = fn.lower(absify(scens))
