@@ -692,9 +692,13 @@ def solve_batch_rounds(batch: Scenario, w: Weights, dims: Dims,
     with jax.default_matmul_precision("float32"):
         batch, x0p, sc, kc, D = _prep(batch, w, dims, cfg, dtype, vt_scale)
         out = _solve_rounds(x0p, sc, kc, sw, dims, p, max_iter, flags=flags)
+    # raw carry leaves k = budget + 1 on capped lanes (they complete the
+    # full state transition before the MAXITER mark — see _solve_rounds);
+    # reported n_iters clamps to the budget like blbfgs and the kernel
+    k = jnp.minimum(out.k, float(max_iter))
     return _finalize(batch, out.xp, out.fp[0],
                      out.status[0].astype(jnp.int32),
-                     out.k[0].astype(jnp.int32), w, dims, cfg, D, vt_scale)
+                     k[0].astype(jnp.int32), w, dims, cfg, D, vt_scale)
 
 
 def solve_batch_fused(batch: Scenario, w: Weights, dims: Dims,

@@ -84,8 +84,12 @@ def test_round_loop_matches_blbfgs_iterate_path():
     # constraints); squeeze/cast for comparison
     np.testing.assert_array_equal(np.asarray(out.status)[0].astype(int),
                                   np.asarray(ref.status))
-    np.testing.assert_array_equal(np.asarray(out.k)[0].astype(int),
-                                  np.asarray(ref.n_iters))
+    # the raw carry leaves k = budget + 1 on budget-capped lanes (they run
+    # the full state transition before the MAXITER mark so the multi-phase
+    # resume is bit-identical); every reporting path clamps to the budget
+    np.testing.assert_array_equal(
+        np.minimum(np.asarray(out.k)[0].astype(int), 12),
+        np.asarray(ref.n_iters))
     np.testing.assert_array_equal(np.asarray(out.n_evals)[0].astype(int),
                                   np.asarray(ref.n_evals))
     np.testing.assert_allclose(np.asarray(out.fp)[0], np.asarray(ref.f),

@@ -25,7 +25,7 @@ def main():
 
     cfg = PlannerConfig()
     dims = Dims(S=1, N=8, K=16, Kdes=32, H=4, O=2, Po=8)
-    B = 1024
+    B = int(os.environ.get("SWEEP_B", "1024"))
     scens = scenarios.batch_scenarios(dims, B, seed=7, dtype=np.float32,
                                       n_obstacles=2)
     w = weights_from_config(cfg.opt, dtype=jnp.float32)
@@ -42,8 +42,18 @@ def main():
                                          (0.125, 30)))),
     ]
     if len(sys.argv) > 1:
-        keep = sys.argv[1].split(",")
-        configs = [c for c in configs if c[0] in keep]
+        # either named configs ("p2,p4") or explicit schedules
+        # ("0.75:20+0.5:20+0.25:20+0.125:40,0.625:78")
+        sel = []
+        for spec in sys.argv[1].split(","):
+            named = [c for c in configs if c[0] == spec]
+            if named:
+                sel.append(named[0])
+            else:
+                ph = tuple((float(f), int(it)) for f, it in
+                           (e.split(":") for e in spec.split("+")))
+                sel.append((spec, dc.replace(tuned, phases=ph)))
+        configs = sel
 
     for name, fl in configs:
         solve = solver.make_solver(cfg, dims, max_iterations=150,
