@@ -238,6 +238,81 @@ def gear_scenario(dims: Dims, wheel_base=2.85, dtype=np.float64) -> Scenario:
     )
 
 
+def multi_gear_scenario(dims: Dims, wheel_base=2.85,
+                        dtype=np.float64) -> Scenario:
+    """S-segment alternating-gear zig-zag (forward, reverse, forward, ...).
+
+    Generalizes gear_scenario to any segment count — S=3 is the classic
+    'pull past - back in - pull forward' parallel-park shape, and the
+    reference's manager plans however many gear segments the kino A* front
+    end emits (traj_manager.cpp:543). Ns-aware exactly like gear_scenario:
+    each slot's inner waypoints sit at its own k/Ns[s] fractions, corridors
+    ride its own sample grid, and init durations scale with its piece
+    count."""
+    S, N = dims.S, dims.N
+    ns = dims.ns_tuple
+
+    # zig-zag waypoints: forward advances alternate with reverse tucks
+    pts = [np.array([0.0, 0.0])]
+    yaws = [0.0]
+    for i in range(S):
+        if i % 2 == 0:
+            pts.append(pts[-1] + np.array([7.0, 1.2 - 1.6 * (i // 2)]))
+            yaws.append(0.45)
+        else:
+            pts.append(pts[-1] + np.array([-3.2, -2.4]))
+            yaws.append(0.15)
+    sing = [1 if i % 2 == 0 else -1 for i in range(S)]
+
+    def seg_inner(n_s, a, b):
+        frac = np.linspace(0.0, 1.0, n_s + 1)[1:-1]
+        out = np.zeros((N - 1, 2), dtype)
+        out[:n_s - 1] = (np.asarray(a) + (np.asarray(b) - np.asarray(a))
+                         * frac[:, None]).astype(dtype)
+        return out
+
+    def seg_corridor(n_s, a, b):
+        grid = sample_grid(n_s, dims.K, dims.Kdes)
+        s_frac = (grid.frac / n_s).astype(dtype)          # [n_s, K1]
+        c = (np.asarray(a)
+             + (np.asarray(b) - np.asarray(a)) * s_frac[..., None])
+        cn = np.zeros((N, dims.K1, dims.H, 2), dtype)
+        cp = np.zeros((N, dims.K1, dims.H, 2), dtype)
+        cm = np.zeros((N, dims.K1, dims.H), bool)
+        d1 = Dims(**{**dims.__dict__, "N": n_s, "Ns": None})
+        n_, p_, m_ = _corridor_from_boxes(c, 10.0, 10.0, d1, dtype)
+        cn[:n_s], cp[:n_s], cm[:n_s] = n_, p_, m_
+        return cn, cp, cm
+
+    ini_l, fin_l, inner_l, cn_l, cp_l, cm_l, T_l = [], [], [], [], [], [], []
+    for i in range(S):
+        vi = 1.0 if i == 0 else 0.2
+        vo = 0.5 if i == S - 1 else 0.2
+        ini_l.append(state_to_flat(pts[i], yaws[i], vi, 0.0, 0.0,
+                                   wheel_base, sing[i], dtype=dtype))
+        fin_l.append(state_to_flat(pts[i + 1], yaws[i + 1], vo, 0.0, 0.0,
+                                   wheel_base, sing[i], dtype=dtype))
+        inner_l.append(seg_inner(ns[i], pts[i], pts[i + 1]))
+        n_, p_, m_ = seg_corridor(ns[i], pts[i], pts[i + 1])
+        cn_l.append(n_)
+        cp_l.append(p_)
+        cm_l.append(m_)
+        T_l.append(4.0 if dims.Ns is None else max(2.0, 0.75 * ns[i]))
+
+    O, Po = dims.O, dims.Po
+    return Scenario(
+        ini_state=np.stack(ini_l), fin_state=np.stack(fin_l),
+        init_inner=np.stack(inner_l),
+        init_T=np.asarray(T_l, dtype),
+        singul=np.asarray(sing, np.int32),
+        seg_mask=np.ones((S,), bool),
+        corr_n=np.stack(cn_l), corr_p=np.stack(cp_l),
+        corr_mask=np.stack(cm_l),
+        obs_coef=np.zeros((O, Po, 6, 2), dtype), obs_dt=np.ones((O,), dtype),
+        obs_rel_t0=np.zeros((O,), dtype), obs_mask=np.zeros((O,), bool),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Front-end-sourced batches (the REAL problem distribution)
 # ---------------------------------------------------------------------------

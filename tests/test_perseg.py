@@ -190,3 +190,53 @@ def test_perseg_beats_uniform_overpiecing():
         # different discretizations)
         assert (np.nanmedian(np.asarray(res_p.cost)[ok])
                 <= 1.5 * np.nanmedian(np.asarray(res_u.cost)[ok]))
+
+
+def test_rounds_engine_three_gear():
+    """S=3 three-gear maneuver (forward - reverse - forward, the
+    parallel-park shape) on a per-segment class Ns=(4, 2, 2): the solver
+    stack is segment-count generic, so anything the front end emits beyond
+    two gears (reference plans every segment at its own piecing,
+    traj_manager.cpp:543) has a solving class. Asserts ok statuses, pinned
+    start/goal boundary states, and C2 continuity inside each segment."""
+    from dftpav_tpu.ops.pallas_solve import solve_batch_rounds
+
+    cfg = PlannerConfig()
+    w = weights_from_config(cfg.opt, jnp.float64)
+    dims = Dims(S=3, N=8, K=16, Kdes=32, H=4, O=0, Po=8, Ns=(4, 2, 2))
+    B = 4
+    scens = [scenarios.multi_gear_scenario(dims) for _ in range(B)]
+    batch = jax.tree.map(jnp.asarray, scenarios.stack_scenarios(scens))
+    res = solve_batch_rounds(batch, w, dims, cfg, max_iterations=200)
+    assert np.all(np.asarray(res.status) >= 0)
+    assert np.all(np.asarray(res.success))
+
+    coeffs = np.asarray(res.coeffs)[0]        # [S, N, 6, 2]
+    dT = np.asarray(res.dT)[0]                # [S]
+    scen0 = jax.tree.map(lambda a: np.asarray(a)[0], batch)
+    # pinned ends: segment 0 head, segment S-1 tail
+    b0 = jnp.asarray(coeffs[0])
+    p0, v0 = minco.eval_derivatives(b0[0], dT[0], jnp.asarray(0.0),
+                                    orders=(0, 1))
+    np.testing.assert_allclose(np.asarray(p0), scen0.ini_state[0, :, 0],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v0), scen0.ini_state[0, :, 1],
+                               atol=1e-6)
+    bl = jnp.asarray(coeffs[2])
+    pN, vN = minco.eval_derivatives(bl[-1], dT[2], jnp.asarray(1.0),
+                                    orders=(0, 1))
+    np.testing.assert_allclose(np.asarray(pN), scen0.fin_state[2, :, 0],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vN), scen0.fin_state[2, :, 1],
+                               atol=1e-6)
+    # C2 continuity across every uniform piece boundary in every segment
+    for s in range(3):
+        b = jnp.asarray(coeffs[s])
+        for j in range(1, dims.N):
+            left = minco.eval_derivatives(b[j - 1], dT[s], jnp.asarray(1.0),
+                                          orders=(0, 1, 2))
+            right = minco.eval_derivatives(b[j], dT[s], jnp.asarray(0.0),
+                                           orders=(0, 1, 2))
+            for x, y in zip(left, right):
+                np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                           rtol=1e-6, atol=1e-6)
