@@ -76,7 +76,7 @@ def _multigear_pool_cached(n_plans, seed):
                         ".bench_cache", f"mgpool_n{n_plans}_s{seed}.npz")
     if os.path.exists(path):
         with np.load(path) as z:
-            names = [f.rsplit("_", 1)[0] for f in z.files
+            names = [f[:-len("_ini_state")] for f in z.files
                      if f.endswith("_ini_state")]
             buckets = {}
             for nm in names:
@@ -117,6 +117,8 @@ def main():
     from dftpav_tpu.config import EngineFlags, PlannerConfig
     from dftpav_tpu.types import Dims, weights_from_config
 
+    import dataclasses as _dc
+
     cfg = PlannerConfig()
     # The tuned engine stack (PERF.md): in-round mixed-precision matmuls,
     # floorless x1.2 adaptive warm step, auto per-slot virtual-time
@@ -124,7 +126,20 @@ def main():
     # lbfgs.hpp parity semantics); DFTPAV_* env vars still override.
     flags = EngineFlags.from_env(EngineFlags.tuned())
     dims = Dims(S=1, N=8, K=16, Kdes=32, H=4, O=2, Po=8)
-    B = int(os.environ.get("BENCH_BATCH", "1024"))
+    B = int(os.environ.get("BENCH_BATCH", "8192"))
+    # Headline multi-phase lane-compaction schedule (round 5, PERF.md):
+    # cut points sized from the measured iters CDF (tools/iters_cdf.py);
+    # the still-running minority is gathered into dense tiles at 50/72/100
+    # iterations so tiles stop paying ~150 rounds for a median-72 workload.
+    # Fractions quantize to tb/B-tile multiples, so the same flags object
+    # serves any batch size. Applied to the cold headline + frontend
+    # distribution only — warm/gated streams (budget 50) and the small
+    # multigear batches run phase-free.
+    if flags.phases == () and os.environ.get("BENCH_PHASES", "1") == "1":
+        hl_flags = _dc.replace(flags, phases=((0.828125, 22),
+                                              (0.515625, 28), (0.25, 50)))
+    else:
+        hl_flags = flags
     max_iter = int(os.environ.get("BENCH_MAX_ITER", "150"))
     # --source frontend: headline batch comes from the real front end
     # (kino A* + corridor growth over randomized lots); default "both"
@@ -135,9 +150,9 @@ def main():
     if "--source" in _sys.argv:
         source = _sys.argv[_sys.argv.index("--source") + 1]
     # headline engine: the whole-solve Pallas kernel (hardware-proven
-    # 4,620 solves/s at B=1024/150 iters with mxu=x3 + adaptive step,
-    # success 0.999, cost p50 within 2% of bminor — see PERF.md);
-    # override with BENCH_ENGINE / --engine
+    # 10,175 solves/s at B=8192/150 iters with the tuned stack + 3-phase
+    # lane compaction, success 0.999, cost p50 within the 2%-of-bminor
+    # gate — see PERF.md round 5); override with BENCH_ENGINE / --engine
     engine = os.environ.get("BENCH_ENGINE", "fused")
     if "--engine" in _sys.argv:
         engine = _sys.argv[_sys.argv.index("--engine") + 1]
@@ -149,7 +164,7 @@ def main():
                                           n_obstacles=2)
     w = weights_from_config(cfg.opt, dtype=jnp.float32)
     solve = solver.make_solver(cfg, dims, max_iterations=max_iter,
-                               engine=engine, flags=flags)
+                               engine=engine, flags=hl_flags)
     batch = jax.tree.map(jnp.asarray, scens)
 
     t0 = time.time()
@@ -271,15 +286,23 @@ def main():
     # "both"; skipped when the headline itself is frontend-sourced)
     frontend_fields = {}
     if source == "both":
-        fb = jax.tree.map(jnp.asarray, _frontend_batch_cached(dims, B, seed=7))
-        res_f = solve(fb, w)
+        # frontend fixture capped at 1024 lanes (generation is ~3 min
+        # host-side per 1024; the distribution, not the batch wall, is
+        # what this line validates)
+        Bf = min(B, 1024)
+        solve_f = (solve if Bf == B else solver.make_solver(
+            cfg, dims, max_iterations=max_iter, engine=engine,
+            flags=hl_flags))
+        fb = jax.tree.map(jnp.asarray,
+                          _frontend_batch_cached(dims, Bf, seed=7))
+        res_f = solve_f(fb, w)
         _ = np.asarray(res_f.cost)
         t1 = time.time()
-        res_f = solve(fb, w)
+        res_f = solve_f(fb, w)
         cost_f = np.asarray(res_f.cost)
         wall_f = time.time() - t1
         frontend_fields = {
-            "frontend_solves_per_s": round(B / wall_f, 1),
+            "frontend_solves_per_s": round(Bf / wall_f, 1),
             "frontend_success_rate": round(
                 float(np.asarray(res_f.success.astype(jnp.int32)).mean()), 4),
             "frontend_cost_p50": round(float(np.nanmedian(cost_f)), 1),
@@ -364,6 +387,7 @@ def main():
         "engine": engine,
         "source": source,
         "adaptive_step": "1" if flags.adaptive_step else "0",
+        "phases": [list(p_) for p_ in hl_flags.phases],
         "exec_cache": os.environ.get("DFTPAV_EXEC_CACHE", "1"),
         **perf_fields,
         **gated_fields,
