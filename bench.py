@@ -341,12 +341,25 @@ def main():
             res2 = solve2(fb2, w)
             cost2 = np.asarray(res2.cost)
             wall2 = time.time() - t2
+            # deployment semantics on residual failures: the reference
+            # retries hard instances / keeps the previous trajectory
+            # (traj_manager.cpp:90-103, traj_server_ros.cpp:166-186); the
+            # batched analogue is the init_T retry ladder — failed lanes
+            # re-solve with rescaled initial durations on the SAME
+            # compiled class (pad_to=B2)
+            res2r = solver.solve_with_retry(
+                solve2, fb2, w,
+                time_scales=(1.6, 0.7, 2.5, 1.25, 0.45, 3.5, 2.0, 0.55,
+                             5.0, 1.1),
+                pad_to=B2)
             share = pool[ns].ini_state.shape[0] / max(n_s2, 1)
             per_class[ns] = dict(
                 rate=B2 / wall2,
-                succ=float(np.asarray(
+                succ=float(np.asarray(res2r.success).mean()),
+                succ_direct=float(np.asarray(
                     res2.success.astype(jnp.int32)).mean()),
-                cost=float(np.nanmedian(cost2)), share=share)
+                cost=float(np.nanmedian(np.asarray(res2r.cost))),
+                share=share)
         if per_class:
             cov = sum(v["share"] for v in per_class.values())
             agg_rate = cov / sum(v["share"] / v["rate"]
@@ -362,10 +375,14 @@ def main():
                 "multigear_batch": B2,
                 "multigear_cost_p50": round(lead["cost"], 1) if lead
                 else None,
+                "multigear_success_direct": round(
+                    sum(v["share"] * v["succ_direct"]
+                        for v in per_class.values()) / cov, 4),
                 "multigear_per_class": {
                     "-".join(str(n) for n in ns): {
                         "rate": round(v["rate"], 1),
                         "succ": round(v["succ"], 4),
+                        "succ_direct": round(v["succ_direct"], 4),
                         "share": round(v["share"], 4)}
                     for ns, v in per_class.items()},
             }
