@@ -58,7 +58,7 @@ def _frontend_batch_cached(dims, B, seed):
 # covering >= 95% of two-gear plans
 MG_ALL = ((8, 2), (4, 2), (2, 8), (2, 2), (4, 8), (8, 8), (2, 4), (4, 4),
           (8, 4))
-MG_BENCHED = ((8, 2), (4, 2), (2, 8), (2, 2), (4, 8), (8, 8))
+MG_BENCHED = ((8, 2), (4, 2), (2, 8), (2, 2), (4, 8), (8, 8), (2, 4))
 
 
 def _mg_dims(ns):
